@@ -1,0 +1,214 @@
+"""Typed configuration system.
+
+The reference threads a pickled ``argparse.Namespace`` through every layer
+(reference ``scripts/train.py:294-303``). Here config is a tree of frozen
+dataclasses, JSON-serialized, so checkpoints stay readable across versions.
+
+Field names and defaults mirror the reference CLI flags
+(``scripts/train.py:253-291``) so a user of the reference finds every knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Log-mel front-end constants (reference ``scripts/featureExtractor.py:8-23``)."""
+
+    sample_rate: int = 16000
+    window_size_s: float = 0.025     # 25 ms -> win_length 400
+    window_stride_s: float = 0.010   # 10 ms -> hop 160
+    n_fft: int = 512
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None     # None -> sample_rate / 2
+    preemphasis: float = 0.97
+    rescale: float = 32768.0         # 16-bit scale applied before pre-emphasis
+    log_floor: float = 1.0           # log(max(1, mel))
+
+    @property
+    def win_length(self) -> int:
+        return int(self.sample_rate * self.window_size_s)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate * self.window_stride_s)
+
+    @property
+    def fmax_hz(self) -> float:
+        return self.sample_rate / 2 if self.fmax is None else self.fmax
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network shape (reference ``scripts/train.py:263-275`` defaults +
+    ``scripts/model.py:8-71`` assembly)."""
+
+    front_end: str = "VGG4L"              # 'VGG3L' | 'VGG4L'
+    kernel_size: int = 1024               # top conv channel count
+    embedding_size: int = 400
+    heads_number: int = 32
+    pooling_method: str = "DoubleMHA"     # 'Attention' | 'MHA' | 'DoubleMHA' | 'SelfAttention' | 'StatisticalPooling'
+    mask_prob: float = 0.3                # head-dropout; P(drop) = 1 / int(1/mask_prob)
+    feature_size: int = 80                # hardcoded in reference (scripts/model.py:13)
+    num_spkrs: int = 5994
+    # AM-Softmax (scripts/loss.py:5-52)
+    scaling_factor: float = 30.0
+    margin_factor: float = 0.4
+    annealing: bool = False
+    # Numerics
+    compute_dtype: str = "float32"        # 'float32' | 'bfloat16' for conv/matmul compute
+    # Parity toggle: reference scales MHA scores by sqrt(heads_number)
+    # because of the d_k=query.size(-1)==heads quirk (scripts/poolings.py:75-76).
+    # True  -> divide by sqrt(heads_number)  (reference behavior)
+    # False -> divide by sqrt(head_size)     (textbook behavior)
+    mha_dk_is_heads: bool = True
+    # BatchNorm (torch defaults used by reference nn.BatchNorm1d)
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization recipe (reference ``scripts/train.py:276-291``)."""
+
+    window_size: float = 3.5              # seconds per training window
+    random_slicing: bool = False          # batch-level random truncation (train.py:205-207)
+    normalization: str = "cmn"            # 'cmn' | 'cmvn' (data.py:21-30)
+    optimizer: str = "Adam"               # 'Adam' | 'SGD' | 'RMSprop'
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-3
+    batch_size: int = 64                  # per optimizer step = batch_size * gradient_accumulation
+    gradient_accumulation: int = 2
+    # Reference sums (not averages) microbatch gradients: loss.backward() per
+    # batch with no division (train.py:219-226). Keep as parity default; set
+    # True for the conventional mean.
+    grad_accum_mean: bool = False
+    max_epochs: int = 1000000
+    early_stopping: int = 25
+    print_every: int = 1000
+    validate_every: int = 10000
+    seed: int = 1234
+    # LR halved when (stopping+1) % 15 == 0 at epoch end; RMSprop excluded
+    # (train.py:90-95,200-203).
+    lr_halving_patience: int = 15
+    # Checkpointing: reference saves only on best EER (train.py:175-179);
+    # we additionally save every `checkpoint_every` steps (0 = off).
+    checkpoint_every: int = 0
+    keep_checkpoints: int = 3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and loading (reference ``scripts/train.py:255-262``)."""
+
+    train_data_dir: str = ""
+    valid_data_dir: str = ""
+    train_labels_path: str = ""
+    valid_clients: str = ""
+    valid_impostors: str = ""
+    # 'features' -> precomputed pickles (reference pipeline parity)
+    # 'wav'      -> decode wavs on host, log-mel computed on device
+    source: str = "features"
+    num_workers: int = 2
+    prefetch: int = 2
+    use_native_loader: bool = True        # C++ wav decoder / prefetcher when built
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. The reference's only parallelism is single-node
+    ``nn.DataParallel`` (train.py:68-70); here: pjit over a ('data','model')
+    mesh — data-parallel batches, optionally model-sharded AM-Softmax W."""
+
+    data_axis: int = -1                   # -1 -> all remaining devices
+    model_axis: int = 1                   # shards of the speaker classifier W
+    data_axis_name: str = "data"
+    model_axis_name: str = "model"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model_name: str = "CNN"
+    out_dir: str = "./models/model1"
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------ names
+    def derived_model_name(self) -> str:
+        """Mirror of reference ``scripts/utils.py:61-69`` (getModelName)."""
+        p = self
+        name = p.model_name
+        name += "_{}".format(p.model.front_end)
+        name += "_{}".format(p.train.window_size)
+        name += "_{}batchSize".format(p.train.batch_size * p.train.gradient_accumulation)
+        name += "_{}lr".format(p.train.learning_rate)
+        name += "_{}weightDecay".format(p.train.weight_decay)
+        name += "_{}kernel".format(p.model.kernel_size)
+        name += "_{}embSize".format(p.model.embedding_size)
+        name += "_{}s".format(p.model.scaling_factor)
+        name += "_{}m".format(p.model.margin_factor)
+        name += "_{}".format(p.model.pooling_method)
+        name += "_{}".format(p.model.heads_number)
+        return name
+
+    # ------------------------------------------------------------- serialize
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        continue  # forward-compatible: ignore unknown keys
+                    ft = fields[k].type
+                    sub = _DATACLASS_BY_NAME.get(ft if isinstance(ft, str) else getattr(ft, "__name__", ""))
+                    kwargs[k] = build(sub, v) if sub is not None else v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kwargs) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+_DATACLASS_BY_NAME = {
+    "FeatureConfig": FeatureConfig,
+    "ModelConfig": ModelConfig,
+    "TrainConfig": TrainConfig,
+    "DataConfig": DataConfig,
+    "MeshConfig": MeshConfig,
+    "ExperimentConfig": ExperimentConfig,
+}
+
+
+def count_speakers(labels_file_path: str) -> int:
+    """Number of distinct labels in a `path label [...]` manifest
+    (reference ``scripts/utils.py:53-59``)."""
+    speakers = set()
+    with open(labels_file_path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                speakers.add(parts[1])
+    return len(speakers)
