@@ -1,0 +1,203 @@
+"""Host-side training data pipeline.
+
+Reference semantics (``scripts/data.py:32-73``): per item, load pickled
+(80, T) raw log-mel, transpose, CMN/CMVN over the *full* utterance, then take
+a random fixed window of ``window_size*100`` frames (whole file if shorter).
+DataLoader with worker subprocesses collates batches.
+
+TPU-first redesign:
+- a background prefetch thread assembles fixed-shape microbatch groups
+  (grad_accum, batch, T, 80) so the jitted train step sees one static shape;
+- short utterances are zero-padded and carry a valid-length (masked model);
+- per-host manifest sharding for multi-host data parallelism;
+- sources: precomputed feature pickles (reference parity) or raw wavs whose
+  log-mel is computed on device (windows sampled in the sample domain);
+- optional random-slicing augmentation (``train.py:205-207``) with lengths
+  snapped to a small bucket grid to avoid recompilation storms.
+"""
+
+from __future__ import annotations
+
+import pickle
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import DataConfig, FeatureConfig, TrainConfig
+from ..dsp.features import num_samples_for_frames
+from .manifest import Utterance, shard_for_host
+from .wav import read_wav
+
+
+def normalize_np(features: np.ndarray, mode: str, std_floor: float = 0.01) -> np.ndarray:
+    """Host-side CMN/CMVN, identical to ``scripts/data.py:21-30``."""
+    f = features - np.mean(features, axis=0)
+    if mode == "cmvn":
+        std = np.std(features, axis=0)
+        std = np.where(std > std_floor, std, 1.0)
+        f = f / std
+    return f
+
+
+def sample_window(features: np.ndarray, window: int, rng: np.random.Generator) -> np.ndarray:
+    """Random fixed window (``data.py:50-55``): start ~ randint(0, max(0, T-W-1))
+    inclusive; whole file if shorter than the window."""
+    t = features.shape[0]
+    hi = max(0, t - window - 1)
+    start = int(rng.integers(0, hi + 1))
+    return features[start : start + min(t, window)]
+
+
+class FeaturePickleSource:
+    """Reads reference-format ``<path>.pickle`` files of raw (80, T) log-mel."""
+
+    def __init__(self, data_dir: str, normalization: str, window_frames: int):
+        self.data_dir = data_dir
+        self.normalization = normalization
+        self.window = window_frames
+
+    def load(self, utt: Utterance, rng: np.random.Generator):
+        with open(f"{self.data_dir}/{utt.path}.pickle", "rb") as f:
+            feats = pickle.load(f)
+        feats = normalize_np(np.transpose(feats).astype(np.float32), self.normalization)
+        win = sample_window(feats, self.window, rng)
+        return win, win.shape[0]
+
+
+class WavSource:
+    """Reads wavs; returns raw sample windows — features are computed on
+    device inside the train step (mel matmuls on the MXU)."""
+
+    def __init__(self, data_dir: str, feat_cfg: FeatureConfig, window_frames: int,
+                 native_reader=None):
+        self.data_dir = data_dir
+        self.window_samples = num_samples_for_frames(window_frames, feat_cfg)
+        self.native_reader = native_reader
+
+    def load(self, utt: Utterance, rng: np.random.Generator):
+        path = f"{self.data_dir}/{utt.path}"
+        if not path.endswith(".wav"):
+            path += ".wav"
+        if self.native_reader is not None:
+            wave = self.native_reader(path)
+        else:
+            wave, _sr = read_wav(path)
+        w = self.window_samples
+        n = wave.shape[0]
+        hi = max(0, n - w - 1)
+        start = int(rng.integers(0, hi + 1))
+        win = wave[start : start + min(n, w)].astype(np.float32)
+        return win, win.shape[0]
+
+
+class TrainLoader:
+    """Yields microbatch groups ready for the jitted train step.
+
+    Each item: dict(inputs (G, B, T, F) float32 | waves (G, B, S) float32,
+    lengths (G, B) int32, labels (G, B) int32). ``G`` is the gradient
+    accumulation factor; the tail that doesn't fill a full group is dropped
+    (static shapes; the reference's leftover microbatches never trigger an
+    optimizer step either, ``train.py:225-226``).
+    """
+
+    def __init__(
+        self,
+        manifest: Sequence[Utterance],
+        source,
+        train_cfg: TrainConfig,
+        data_cfg: DataConfig,
+        feature_dim: int = 80,
+        is_wave: bool = False,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        seed: Optional[int] = None,
+    ):
+        self.manifest = shard_for_host(list(manifest), host_id, num_hosts)
+        self.source = source
+        self.cfg = train_cfg
+        self.data_cfg = data_cfg
+        self.feature_dim = feature_dim
+        self.is_wave = is_wave
+        self.seed = train_cfg.seed if seed is None else seed
+        self.window_frames = int(train_cfg.window_size * 100)
+        self.group = train_cfg.gradient_accumulation
+        self.batch = train_cfg.batch_size
+
+    def steps_per_epoch(self) -> int:
+        return len(self.manifest) // (self.group * self.batch)
+
+    # ------------------------------------------------------------------ core
+    def _assemble(self, utts: List[Utterance], rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        g, b = self.group, self.batch
+        if self.is_wave:
+            t_dim = self.source.window_samples
+            inputs = np.zeros((g * b, t_dim), np.float32)
+        else:
+            t_dim = self.window_frames
+            inputs = np.zeros((g * b, t_dim, self.feature_dim), np.float32)
+        lengths = np.zeros((g * b,), np.int32)
+        labels = np.zeros((g * b,), np.int32)
+        for i, utt in enumerate(utts):
+            win, n = self.source.load(utt, rng)
+            inputs[i, :n] = win
+            lengths[i] = n
+            labels[i] = utt.label
+
+        if self.cfg.random_slicing and not self.is_wave:
+            # Reference truncates each batch to a random length in
+            # [200, window) (train.py:205-207). Snap up to a multiple of 50
+            # so only a handful of shapes ever compile.
+            cut = int(rng.integers(200, self.window_frames))
+            cut = min(self.window_frames, -(-cut // 50) * 50)
+            inputs = inputs[:, :cut]
+            lengths = np.minimum(lengths, cut)
+
+        key = "waves" if self.is_wave else "inputs"
+        return {
+            key: inputs.reshape((g, b) + inputs.shape[1:]),
+            "lengths": lengths.reshape(g, b),
+            "labels": labels.reshape(g, b),
+        }
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate one epoch with deterministic shuffling + prefetch thread."""
+        rng = np.random.default_rng((self.seed, epoch_idx, 0xD47A))
+        order = rng.permutation(len(self.manifest))
+        per_step = self.group * self.batch
+        n_steps = len(order) // per_step
+        if n_steps == 0:
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.data_cfg.prefetch))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for s in range(n_steps):
+                    if stop.is_set():
+                        return
+                    idx = order[s * per_step : (s + 1) * per_step]
+                    utts = [self.manifest[i] for i in idx]
+                    q.put(self._assemble(utts, rng))
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can finish
+            while th.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            th.join(timeout=5)

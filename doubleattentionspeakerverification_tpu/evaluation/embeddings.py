@@ -1,0 +1,118 @@
+"""Batched embedding extraction + trial scoring.
+
+The reference's validation recomputes both utterances of every trial pair
+with batch-of-1 forwards and per-pair host syncs (``train.py:107-133``).
+Here: unique utterances are extracted once, in length-bucketed padded
+batches (a handful of static shapes -> a handful of XLA compilations),
+cached, and trial scoring is a vectorized cosine over cached embeddings.
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..config import ModelConfig
+from ..data.dataset import normalize_np
+from ..models.classifier import ModelState, get_embedding
+from .eer import cosine_scores, eer_exact, eer_reference
+
+DEFAULT_BUCKETS = (200, 350, 500, 750, 1000, 1500, 2000, 3000, 4000, 6000, 8000)
+
+
+def pickle_feature_loader(data_dir: str, normalization: str = "cmn") -> Callable:
+    """Loader for reference-format feature pickles: (80,T) raw -> (T,80)
+    normalized (``data.py:7-30``)."""
+
+    def load(utt_id: str) -> np.ndarray:
+        with open(f"{data_dir}/{utt_id}.pickle", "rb") as f:
+            feats = pickle.load(f)
+        return normalize_np(np.transpose(feats).astype(np.float32), normalization)
+
+    return load
+
+
+def bucket_for(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class EmbeddingExtractor:
+    """Extract-once cache of scoring embeddings."""
+
+    def __init__(
+        self,
+        params,
+        state: ModelState,
+        cfg: ModelConfig,
+        feature_loader: Callable[[str], np.ndarray],
+        batch_size: int = 8,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        embed_fn=None,
+    ):
+        self.params = params
+        self.state = state
+        self.cfg = cfg
+        self.load = feature_loader
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        self.cache: Dict[str, np.ndarray] = {}
+        # embed_fn may be shared across extractors so XLA compilations for
+        # each bucket shape are reused across validation rounds
+        self._embed = embed_fn or jax.jit(functools.partial(get_embedding, cfg=cfg))
+
+    def extract(self, utt_ids: Sequence[str]) -> Dict[str, np.ndarray]:
+        todo = sorted(set(u for u in utt_ids if u not in self.cache))
+        if not todo:
+            return self.cache
+        feats = {u: self.load(u) for u in todo}
+        by_bucket: Dict[int, List[str]] = {}
+        for u in todo:
+            t = min(feats[u].shape[0], self.buckets[-1])
+            by_bucket.setdefault(bucket_for(t, self.buckets), []).append(u)
+
+        for bucket, utts in sorted(by_bucket.items()):
+            for i in range(0, len(utts), self.batch_size):
+                chunk = utts[i : i + self.batch_size]
+                b = self.batch_size
+                x = np.zeros((b, bucket, feats[chunk[0]].shape[1]), np.float32)
+                lengths = np.zeros((b,), np.int32)
+                for j, u in enumerate(chunk):
+                    f = feats[u][:bucket]
+                    x[j, : f.shape[0]] = f
+                    lengths[j] = f.shape[0]
+                emb = np.asarray(self._embed(self.params, self.state, x, lengths))
+                for j, u in enumerate(chunk):
+                    self.cache[u] = emb[j]
+        return self.cache
+
+
+def score_trials(
+    extractor: EmbeddingExtractor, trials: Sequence[Tuple[str, str]]
+) -> np.ndarray:
+    ids = [u for pair in trials for u in pair]
+    cache = extractor.extract(ids)
+    e1 = np.stack([cache[a] for a, _ in trials])
+    e2 = np.stack([cache[b] for _, b in trials])
+    return cosine_scores(e1, e2)
+
+
+def validate_eer(
+    extractor: EmbeddingExtractor,
+    client_trials: Sequence[Tuple[str, str]],
+    impostor_trials: Sequence[Tuple[str, str]],
+) -> Dict[str, float]:
+    cl = score_trials(extractor, client_trials)
+    im = score_trials(extractor, impostor_trials)
+    return {
+        "eer": eer_reference(cl, im),
+        "eer_exact": eer_exact(cl, im),
+        "mean_client": float(np.mean(cl)),
+        "mean_impostor": float(np.mean(im)),
+    }

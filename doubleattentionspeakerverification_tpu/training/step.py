@@ -1,0 +1,124 @@
+"""The jitted train step.
+
+One XLA program per optimizer step: a ``lax.scan`` over the gradient-
+accumulation microbatches (forward + backward + BN-state carry), gradient
+summation (the reference sums microbatch gradients — ``loss.backward()``
+per batch with no division, ``train.py:219-226``), then the optax update.
+When the batch is data-sharded over a mesh, XLA inserts the gradient
+all-reduce automatically.
+
+In 'wav' mode the log-mel front-end runs inside the step (device DSP).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..dsp.features import frames_for_samples, log_mel_spectrogram, normalize_features
+from ..models.amsoftmax import cross_entropy
+from ..models.classifier import ModelState, speaker_classifier_apply
+from .optimizers import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    model_state: ModelState
+    step: jnp.ndarray  # int32 scalar, counts optimizer updates
+
+
+def init_train_state(params, model_state: ModelState, cfg: ExperimentConfig) -> TrainState:
+    opt = make_optimizer(cfg.train)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        model_state=model_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _prepare_inputs(batch: Dict[str, jnp.ndarray], cfg: ExperimentConfig):
+    """Returns (features (G,B,T,F), frame_lengths (G,B)) for either source."""
+    if "waves" in batch:
+        feats = log_mel_spectrogram(batch["waves"], cfg.features)
+        lens = frames_for_samples(batch["lengths"], cfg.features)
+        feats = normalize_features(feats, cfg.train.normalization, lengths=lens)
+        return feats, lens
+    return batch["inputs"], batch["lengths"]
+
+
+def make_train_step(cfg: ExperimentConfig, donate: bool = True):
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: inputs/waves (G,B,...), lengths (G,B), labels (G,B).
+    metrics: mean loss / accuracy over the G microbatches (the reference
+    averages printed loss the same way, ``train.py:186-194``).
+    """
+    opt = make_optimizer(cfg.train)
+    mcfg = cfg.model
+
+    def microbatch_loss(params, model_state, feats, lengths, labels, step, rng):
+        costh, logits, new_ms = speaker_classifier_apply(
+            params, model_state, feats, labels, step, mcfg,
+            lengths=lengths, train=True, rng=rng,
+        )
+        loss = cross_entropy(logits, labels)
+        acc = jnp.mean((jnp.argmax(costh, axis=-1) == labels).astype(jnp.float32))
+        return loss, (new_ms, acc)
+
+    grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        feats, lens = _prepare_inputs(batch, cfg)
+        g = feats.shape[0]
+
+        def body(carry, micro):
+            grads_acc, ms, loss_acc, acc_acc, i = carry
+            f, l, y = micro
+            rng_i = jax.random.fold_in(rng, i)
+            (loss, (new_ms, acc)), grads = grad_fn(
+                state.params, ms, f, l, y, state.step, rng_i
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_ms, loss_acc + loss, acc_acc + acc, i + 1), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        init = (zeros, state.model_state, jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+        (grads, new_ms, loss_sum, acc_sum, _), _ = jax.lax.scan(
+            body, init, (feats, lens, batch["labels"])
+        )
+        if cfg.train.grad_accum_mean:
+            grads = jax.tree.map(lambda x: x / g, grads)
+
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt, new_ms, state.step + 1)
+        metrics = {"loss": loss_sum / g, "accuracy": acc_sum / g}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_loss_step(cfg: ExperimentConfig):
+    """Jitted forward-only loss/accuracy (no state mutation) for eval."""
+    mcfg = cfg.model
+
+    def eval_step(params, model_state, batch):
+        feats, lens = _prepare_inputs(batch, cfg)
+        f = feats.reshape((-1,) + feats.shape[2:])
+        l = lens.reshape(-1)
+        y = batch["labels"].reshape(-1)
+        costh, logits, _ = speaker_classifier_apply(
+            params, model_state, f, y, 0, mcfg, lengths=l, train=False
+        )
+        return {
+            "loss": cross_entropy(logits, y),
+            "accuracy": jnp.mean((jnp.argmax(costh, -1) == y).astype(jnp.float32)),
+        }
+
+    return jax.jit(eval_step)

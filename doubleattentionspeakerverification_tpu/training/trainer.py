@@ -1,0 +1,236 @@
+"""Training orchestration (reference ``Trainer``, ``scripts/train.py:19-235``).
+
+Control flow kept from the reference: epoch loop, periodic loss/accuracy
+prints, EER validation every ``validate_every`` optimizer steps, best-EER
+checkpointing + early stopping, LR halving per ``lr_halving_patience``
+stagnant validations at epoch end (Adam/SGD only — RMSprop excluded like
+``train.py:90-95``), requeue-style resume.
+
+Redesigned around TPU execution: the whole optimizer step (grad-accum scan
+included) is one jitted XLA program; validation embeds unique utterances in
+bucketed batches with caching instead of per-trial batch-of-1 forwards.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data.dataset import FeaturePickleSource, TrainLoader, WavSource
+from ..data.manifest import load_train_manifest, load_trials
+from ..evaluation.embeddings import (
+    EmbeddingExtractor,
+    pickle_feature_loader,
+    validate_eer,
+)
+from ..models.classifier import get_embedding, init_speaker_classifier
+from ..utils.checkpoint import (
+    checkpoint_path,
+    latest_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+    save_checkpoint,
+)
+from ..utils.logging import MetricLogger
+from .optimizers import get_lr, with_lr
+from .step import TrainState, init_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        logger: Optional[MetricLogger] = None,
+        host_id: int = 0,
+        num_hosts: int = 1,
+    ):
+        self.cfg = cfg
+        self.log = logger or MetricLogger()
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.model_name = cfg.derived_model_name()
+
+        params, model_state = init_speaker_classifier(
+            jax.random.PRNGKey(cfg.train.seed), cfg.model
+        )
+        self.state: TrainState = init_train_state(params, model_state, cfg)
+        self.train_step = make_train_step(cfg)
+        self._embed_jit = jax.jit(partial(get_embedding, cfg=cfg.model))
+
+        self._load_data()
+
+        self.best_eer = 50.0
+        self.stopping = 0
+        self.starting_epoch = 0
+        self.epoch = 0
+        self.best_ckpt_path: Optional[str] = None
+        if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
+            self.resume()
+
+    # ------------------------------------------------------------------ data
+    def _load_data(self) -> None:
+        cfg = self.cfg
+        manifest = load_train_manifest(cfg.data.train_labels_path)
+        window_frames = int(cfg.train.window_size * 100)
+        if cfg.data.source == "wav":
+            source = WavSource(cfg.data.train_data_dir, cfg.features, window_frames,
+                               native_reader=self._native_reader())
+            is_wave = True
+        else:
+            source = FeaturePickleSource(
+                cfg.data.train_data_dir, cfg.train.normalization, window_frames
+            )
+            is_wave = False
+        self.loader = TrainLoader(
+            manifest, source, cfg.train, cfg.data,
+            feature_dim=cfg.model.feature_size, is_wave=is_wave,
+            host_id=self.host_id, num_hosts=self.num_hosts,
+        )
+
+    def _native_reader(self):
+        if not self.cfg.data.use_native_loader:
+            return None
+        try:
+            from ..utils.native import native_read_wav
+
+            return native_read_wav if native_read_wav is not None else None
+        except Exception:
+            return None
+
+    # -------------------------------------------------------------- validate
+    def validate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        t0 = time.time()
+        extractor = EmbeddingExtractor(
+            self.state.params,
+            self.state.model_state,
+            cfg.model,
+            pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization),
+            embed_fn=self._embed_jit,
+        )
+        clients = load_trials(cfg.data.valid_clients)
+        impostors = load_trials(cfg.data.valid_impostors)
+        result = validate_eer(extractor, clients, impostors)
+        result["elapsed_s"] = time.time() - t0
+        return result
+
+    def _on_validation(self) -> None:
+        result = self.validate()
+        eer = result["eer"]
+        self.log.log(
+            "validate",
+            epoch=self.epoch,
+            step=int(self.state.step),
+            eer=eer,
+            eer_exact=result["eer_exact"],
+            elapsed_s=result["elapsed_s"],
+        )
+        if eer < self.best_eer:
+            self.best_eer = eer
+            self.stopping = 0
+            self.best_ckpt_path = self._save("best")
+            self.log.log("new_best", eer=eer, path=self.best_ckpt_path)
+        else:
+            self.stopping += 1
+            self.log.log("no_improvement", best_eer=self.best_eer, stopping=self.stopping)
+        self._print_t0 = time.time()
+
+    # ------------------------------------------------------------ checkpoint
+    def _meta(self) -> Dict:
+        return {
+            "config": self.cfg.to_dict(),
+            "model_name": self.model_name,
+            "epoch": self.epoch,
+            "step": int(self.state.step),
+            "best_eer": self.best_eer,
+            "stopping": self.stopping,
+            "lr": get_lr(self.state.opt_state),
+        }
+
+    def _save(self, kind: str = "periodic") -> str:
+        os.makedirs(self.cfg.out_dir, exist_ok=True)
+        step = int(self.state.step)
+        if kind == "best":
+            path = os.path.join(self.cfg.out_dir, f"{self.model_name}_best_{step}.npz")
+        else:
+            path = checkpoint_path(self.cfg.out_dir, self.model_name, step)
+        save_checkpoint(path, self.state, self._meta())
+        if kind != "best" and self.cfg.train.keep_checkpoints > 0:
+            prune_checkpoints(
+                self.cfg.out_dir, self.model_name, self.cfg.train.keep_checkpoints,
+                protect=(self.best_ckpt_path,) if self.best_ckpt_path else (),
+            )
+        return path
+
+    def resume(self) -> bool:
+        """Requeue-style resume from the newest checkpoint in out_dir
+        (reference ``__load_previous_states``, ``train.py:31-49``)."""
+        path = latest_checkpoint(self.cfg.out_dir)
+        if path is None:
+            return False
+        state, meta = load_checkpoint(path, self.state)
+        self.state = state
+        self.starting_epoch = int(meta.get("epoch", 0)) + 1
+        self.best_eer = float(meta.get("best_eer", 50.0))
+        self.stopping = int(meta.get("stopping", 0))
+        self.log.log("resume", path=path, step=int(self.state.step), epoch=self.starting_epoch)
+        return True
+
+    # ----------------------------------------------------------------- train
+    def _halve_lr_if_stagnant(self) -> None:
+        """Epoch-end LR halving (``train.py:200-203``): every
+        ``lr_halving_patience`` non-improving validations; RMSprop excluded."""
+        if (self.stopping + 1) % self.cfg.train.lr_halving_patience == 0:
+            if self.cfg.train.optimizer in ("Adam", "SGD"):
+                new_lr = get_lr(self.state.opt_state) * 0.5
+                self.state = self.state._replace(
+                    opt_state=with_lr(self.state.opt_state, new_lr)
+                )
+                self.log.log("lr_halved", lr=new_lr)
+
+    def train(self) -> None:
+        cfg = self.cfg
+        rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
+        self._print_t0 = time.time()
+        window_loss, window_acc, window_n = 0.0, 0.0, 0
+
+        self.log.log("start_training", model=self.model_name,
+                     steps_per_epoch=self.loader.steps_per_epoch())
+        for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
+            for batch in self.loader.epoch(self.epoch):
+                step_rng = jax.random.fold_in(rng0, int(self.state.step))
+                self.state, metrics = self.train_step(self.state, batch, step_rng)
+                window_loss += float(metrics["loss"])
+                window_acc += float(metrics["accuracy"])
+                window_n += 1
+                step = int(self.state.step)
+
+                if step % cfg.train.print_every == 0:
+                    self.log.log(
+                        "train",
+                        epoch=self.epoch,
+                        step=step,
+                        xent=window_loss / max(1, window_n),
+                        accuracy=100.0 * window_acc / max(1, window_n),
+                        elapsed_min=(time.time() - self._print_t0) / 60,
+                    )
+                    window_loss, window_acc, window_n = 0.0, 0.0, 0
+                    self._print_t0 = time.time()
+
+                if cfg.train.validate_every and step % cfg.train.validate_every == 0:
+                    self._on_validation()
+
+                if cfg.train.checkpoint_every and step % cfg.train.checkpoint_every == 0:
+                    self._save("periodic")
+
+            if cfg.train.early_stopping >= 0 and self.stopping > cfg.train.early_stopping:
+                self.log.log("early_stop", best_eer=self.best_eer)
+                break
+            self._halve_lr_if_stagnant()
+        self.log.log("finished", best_eer=self.best_eer)

@@ -1,0 +1,122 @@
+"""Checkpointing.
+
+The reference pickles ``{model, optimizer, settings, epoch, step}`` with
+torch.save, only on best-EER (``scripts/utils.py:23-40``), and requeue picks
+the newest file by ctime (``train.py:31-49``). Here:
+
+- a checkpoint is a single ``.npz`` (flattened pytree leaves keyed by path)
+  plus an embedded JSON meta blob (config, step, epoch, best EER, ...);
+- both periodic and best checkpoints are supported (the reference's
+  best-only policy loses all work since the last improvement on requeue);
+- ``latest_checkpoint`` resolves by highest step encoded in the filename
+  (ctime as tiebreak).
+
+Restore is template-based: leaves are loaded into a freshly-initialized
+pytree of the same structure, so arbitrary optax states round-trip.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(_path_elem(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_elem(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def save_checkpoint(path: str, tree: Any, meta: Dict[str, Any]) -> str:
+    """Atomic write of pytree + meta to ``path`` (.npz)."""
+    flat = _flatten(tree)
+    flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a pytree with the structure of ``template`` plus the meta."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        data = {k: z[k] for k in z.files if k != "__meta__"}
+
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path_elems, leaf in leaves_with_path:
+        key = "/".join(_path_elem(p) for p in path_elems)
+        if key not in data:
+            raise KeyError(f"checkpoint {path} missing leaf {key!r}")
+        arr = data[key]
+        if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key!r}: checkpoint {arr.shape} vs template {np.shape(leaf)}"
+            )
+        if hasattr(leaf, "dtype"):
+            arr = arr.astype(leaf.dtype)
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
+
+
+_STEP_RE = re.compile(r"_(\d+)\.npz$")
+
+
+def checkpoint_path(out_dir: str, model_name: str, step: int) -> str:
+    return os.path.join(out_dir, f"{model_name}_{step}.npz")
+
+
+def latest_checkpoint(out_dir: str) -> Optional[str]:
+    if not os.path.isdir(out_dir):
+        return None
+    best = None
+    best_key = None
+    for fname in os.listdir(out_dir):
+        if not fname.endswith(".npz"):
+            continue
+        full = os.path.join(out_dir, fname)
+        m = _STEP_RE.search(fname)
+        step = int(m.group(1)) if m else -1
+        key = (step, os.path.getctime(full))
+        if best_key is None or key > best_key:
+            best, best_key = full, key
+    return best
+
+
+def prune_checkpoints(out_dir: str, model_name: str, keep: int, protect: Tuple[str, ...] = ()) -> None:
+    """Keep the newest ``keep`` periodic checkpoints (never the protected)."""
+    if keep <= 0 or not os.path.isdir(out_dir):
+        return
+    entries = []
+    for fname in os.listdir(out_dir):
+        if fname.startswith(model_name) and fname.endswith(".npz"):
+            full = os.path.join(out_dir, fname)
+            if full in protect:
+                continue
+            m = _STEP_RE.search(fname)
+            entries.append((int(m.group(1)) if m else -1, full))
+    entries.sort()
+    for _, full in entries[:-keep] if len(entries) > keep else []:
+        os.remove(full)

@@ -1,0 +1,114 @@
+import os
+import pickle
+
+import numpy as np
+
+from doubleattentionspeakerverification_tpu.config import DataConfig, TrainConfig
+from doubleattentionspeakerverification_tpu.data.dataset import (
+    FeaturePickleSource,
+    TrainLoader,
+    normalize_np,
+    sample_window,
+)
+from doubleattentionspeakerverification_tpu.data.manifest import (
+    load_trials,
+    parse_train_manifest,
+    shard_for_host,
+)
+from doubleattentionspeakerverification_tpu.data.wav import read_wav, write_wav
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    t = np.arange(sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 440 * t)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, y, sr)
+    back, sr2 = read_wav(p)
+    assert sr2 == sr
+    assert back.shape == y.shape
+    # PCM16 quantization + the 32767-encode / 32768-decode scale convention
+    np.testing.assert_allclose(back, y, atol=1e-4)
+
+
+def test_normalize_np_reference_semantics():
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((60, 80)).astype(np.float32) * 2 + 1
+    cmn = normalize_np(f, "cmn")
+    np.testing.assert_allclose(cmn.mean(axis=0), 0, atol=1e-5)
+    cmvn = normalize_np(f, "cmvn")
+    np.testing.assert_allclose(cmvn.std(axis=0), 1, atol=1e-4)
+    # std floor: constant column divides by 1.0
+    f2 = np.ones((60, 3), np.float32)
+    out = normalize_np(f2, "cmvn")
+    np.testing.assert_allclose(out, 0)
+
+
+def test_sample_window_semantics():
+    rng = np.random.default_rng(0)
+    feats = np.arange(100, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    # longer than window: random contiguous window of exactly W
+    for _ in range(20):
+        w = sample_window(feats, 30, rng)
+        assert w.shape == (30, 4)
+        start = w[0, 0]
+        assert 0 <= start <= 100 - 30 - 1  # randint(0, T-W-1) inclusive
+        np.testing.assert_array_equal(w[:, 0], np.arange(start, start + 30))
+    # shorter than window: whole file
+    w = sample_window(feats[:10], 30, rng)
+    assert w.shape == (10, 4)
+
+
+def test_manifest_and_sharding():
+    utts = parse_train_manifest(["a/b 0 -1\n", "c/d 3 -1\n", "", "e/f 1 -1\n"])
+    assert [u.label for u in utts] == [0, 3, 1]
+    s0 = shard_for_host(utts, 0, 2)
+    s1 = shard_for_host(utts, 1, 2)
+    assert len(s0) + len(s1) == 3
+    assert {u.path for u in s0} | {u.path for u in s1} == {"a/b", "c/d", "e/f"}
+
+
+def make_synthetic_features(root, n_speakers=4, per_speaker=6, t_range=(60, 120), seed=0):
+    """Feature pickles with speaker-dependent structure; returns manifest lines."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    centers = rng.standard_normal((n_speakers, 80)) * 2.0
+    for spk in range(n_speakers):
+        for i in range(per_speaker):
+            t = int(rng.integers(*t_range))
+            feats = centers[spk][:, None] + 0.3 * rng.standard_normal((80, t))
+            name = f"spk{spk}_utt{i}"
+            with open(os.path.join(root, name + ".pickle"), "wb") as f:
+                pickle.dump(feats.astype(np.float32), f)
+            lines.append(f"{name} {spk} -1\n")
+    return lines
+
+
+def test_train_loader_shapes(tmp_path):
+    root = str(tmp_path / "feats")
+    lines = make_synthetic_features(root)
+    manifest = parse_train_manifest(lines)
+    tcfg = TrainConfig(window_size=0.8, batch_size=3, gradient_accumulation=2)
+    source = FeaturePickleSource(root, "cmn", 80)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), feature_dim=80)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch() == 24 // 6
+    b = batches[0]
+    assert b["inputs"].shape == (2, 3, 80, 80)
+    assert b["lengths"].shape == (2, 3)
+    assert b["labels"].shape == (2, 3)
+    assert b["lengths"].min() >= 60 and b["lengths"].max() <= 80
+    # padded region is zero
+    g, bi = 0, 0
+    n = b["lengths"][g, bi]
+    assert np.all(b["inputs"][g, bi, n:] == 0)
+    # deterministic given (seed, epoch)
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]["labels"], again[0]["labels"])
+
+
+def test_trials_loader(tmp_path):
+    p = tmp_path / "clients.ndx"
+    p.write_text("u1 u2\nu3 u4\n")
+    assert load_trials(str(p)) == [("u1", "u2"), ("u3", "u4")]

@@ -1,0 +1,86 @@
+"""EER semantics tests: vectorized implementation vs a literal oracle of the
+reference's loops (``train.py:135-149``, ``utils.py:5-16``)."""
+
+import numpy as np
+import pytest
+
+from doubleattentionspeakerverification_tpu.evaluation.eer import (
+    cosine_scores,
+    eer_exact,
+    eer_reference,
+)
+
+
+def _score_oracle(scores, th, rate):
+    # reference utils.Score (utils.py:5-16)
+    count = 0.0
+    for sc in scores:
+        if rate == "FAR" and float(sc) >= float(th):
+            count += 1
+        elif rate == "FRR" and float(sc) < float(th):
+            count += 1
+    return round(count * 100 / float(len(scores)), 4)
+
+
+def _eer_oracle(CL, IM):
+    # reference Trainer.__calculate_EER (train.py:135-149)
+    thresholds = np.arange(-1, 1, 0.01)
+    FRR, FAR = np.zeros(len(thresholds)), np.zeros(len(thresholds))
+    for idx, th in enumerate(thresholds):
+        FRR[idx] = _score_oracle(CL, th, "FRR")
+        FAR[idx] = _score_oracle(IM, th, "FAR")
+    idxs = np.argwhere(np.diff(np.sign(FAR - FRR)) != 0).reshape(-1)
+    if len(idxs) > 0:
+        i = int(idxs[0])
+        return round((FAR[i] + FRR[i]) / 2, 4)
+    return 50.00
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_eer_reference_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    clients = np.clip(rng.normal(0.6, 0.25, 500), -1, 1)
+    impostors = np.clip(rng.normal(0.1, 0.25, 800), -1, 1)
+    assert eer_reference(clients, impostors) == _eer_oracle(clients, impostors)
+
+
+def test_eer_edge_semantics():
+    # all scores above the grid on the same side: no sign change -> 50.0
+    # (train.py:147-149 fallback)
+    assert eer_reference(np.full(5, 2.0), np.full(5, 2.0)) == 50.00
+    # reference quirk: a degenerate step distribution (all clients equal, all
+    # impostors equal) makes FAR jump 100->0 at the sign change, giving 50.0
+    assert eer_reference(np.full(10, 0.99), np.full(10, -0.99)) == 50.00
+    assert _eer_oracle(np.full(10, 0.99), np.full(10, -0.99)) == 50.00
+    # graded well-separated scores: EER ~ (1 impostor step)/2 = 100/n/2
+    rng = np.random.default_rng(0)
+    clients = rng.uniform(0.3, 0.9, 500)
+    impostors = rng.uniform(-0.9, -0.3, 500)
+    e = eer_reference(clients, impostors)
+    assert e == _eer_oracle(clients, impostors)
+    assert e <= 1.0
+
+
+def test_eer_exact_sanity():
+    rng = np.random.default_rng(0)
+    clients = rng.normal(0.7, 0.1, 2000)
+    impostors = rng.normal(0.0, 0.1, 2000)
+    e = eer_exact(clients, impostors)
+    ref = eer_reference(np.clip(clients, -1, 1), np.clip(impostors, -1, 1))
+    assert 0 <= e <= 100
+    assert abs(e - ref) < 1.0  # same ballpark as grid EER
+    # fully overlapping distributions -> ~50%
+    same = rng.normal(0, 1, 4000)
+    assert abs(eer_exact(same[:2000], same[2000:]) - 50.0) < 5.0
+
+
+def test_cosine_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((32, 40)).astype(np.float32)
+    b = rng.standard_normal((32, 40)).astype(np.float32)
+    ours = cosine_scores(a, b)
+    ref = F.cosine_similarity(torch.tensor(a), torch.tensor(b), dim=-1, eps=1e-8).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

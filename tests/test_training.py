@@ -1,0 +1,211 @@
+"""Training-loop tests: optimizer parity vs torch, end-to-end loss descent on
+a synthetic speaker set, EER validation, checkpoint/resume bit-exactness."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from doubleattentionspeakerverification_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from doubleattentionspeakerverification_tpu.models.classifier import (
+    init_speaker_classifier,
+)
+from doubleattentionspeakerverification_tpu.training.optimizers import (
+    get_lr,
+    make_optimizer,
+    with_lr,
+)
+from doubleattentionspeakerverification_tpu.training.step import (
+    init_train_state,
+    make_train_step,
+)
+from doubleattentionspeakerverification_tpu.training.trainer import Trainer
+from doubleattentionspeakerverification_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+from test_data import make_synthetic_features
+
+
+# ------------------------------------------------------------ optimizer parity
+@pytest.mark.parametrize("name", ["Adam", "SGD", "RMSprop"])
+def test_optimizer_matches_torch(name):
+    import torch
+
+    w0 = np.random.default_rng(0).standard_normal((5, 3)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).standard_normal((5, 3)).astype(np.float32)
+             for i in range(4)]
+
+    cfg = TrainConfig(optimizer=name, learning_rate=0.01, weight_decay=0.001)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    st = opt.init(params)
+    for g in grads:
+        upd, st = opt.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+
+    wt = torch.nn.Parameter(torch.tensor(w0))
+    topt = {
+        "Adam": lambda: torch.optim.Adam([wt], lr=0.01, weight_decay=0.001),
+        "SGD": lambda: torch.optim.SGD([wt], lr=0.01, weight_decay=0.001),
+        "RMSprop": lambda: torch.optim.RMSprop([wt], lr=0.01, weight_decay=0.001),
+    }[name]()
+    for g in grads:
+        topt.zero_grad()
+        wt.grad = torch.tensor(g)
+        topt.step()
+
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(), atol=2e-6)
+
+
+def test_lr_mutation():
+    cfg = TrainConfig(optimizer="Adam", learning_rate=0.01)
+    opt = make_optimizer(cfg)
+    st = opt.init({"w": jnp.ones((2,))})
+    assert get_lr(st) == pytest.approx(0.01)
+    st = with_lr(st, 0.005)
+    assert get_lr(st) == pytest.approx(0.005)
+    # update still works after mutation
+    upd, st = opt.update({"w": jnp.ones((2,))}, st, {"w": jnp.ones((2,))})
+    assert np.all(np.isfinite(np.asarray(upd["w"])))
+
+
+# ---------------------------------------------------------------- train step
+def _tiny_cfg(tmp, n_spk=4, **train_kw):
+    train_kw.setdefault("window_size", 0.8)
+    train_kw.setdefault("batch_size", 4)
+    train_kw.setdefault("gradient_accumulation", 2)
+    train_kw.setdefault("learning_rate", 2e-3)
+    train_kw.setdefault("validate_every", 0)
+    train_kw.setdefault("print_every", 1000)
+    return ExperimentConfig(
+        model_name="tiny",
+        out_dir=str(tmp / "out"),
+        model=ModelConfig(
+            kernel_size=16, heads_number=4, embedding_size=32,
+            num_spkrs=n_spk, pooling_method="DoubleMHA",
+        ),
+        train=TrainConfig(**train_kw),
+        data=DataConfig(
+            train_data_dir=str(tmp / "feats"),
+            valid_data_dir=str(tmp / "feats"),
+            train_labels_path=str(tmp / "labels.ndx"),
+            valid_clients=str(tmp / "clients.ndx"),
+            valid_impostors=str(tmp / "impostors.ndx"),
+        ),
+    )
+
+
+def _make_dataset(tmp, n_speakers=4, per_speaker=6):
+    lines = make_synthetic_features(str(tmp / "feats"), n_speakers, per_speaker)
+    (tmp / "labels.ndx").write_text("".join(lines))
+    names = [ln.split()[0] for ln in lines]
+    by_spk = {}
+    for ln in lines:
+        n, s = ln.split()[0], int(ln.split()[1])
+        by_spk.setdefault(s, []).append(n)
+    clients = [f"{v[0]} {v[1]}\n" for v in by_spk.values()]
+    impostors = [f"{by_spk[0][i]} {by_spk[1][i]}\n" for i in range(2)]
+    (tmp / "clients.ndx").write_text("".join(clients))
+    (tmp / "impostors.ndx").write_text("".join(impostors))
+    return names
+
+
+def test_train_step_reduces_loss(tmp_path):
+    import dataclasses
+
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, learning_rate=5e-3)
+    # mask_prob 0.02 -> P(drop)=1/50: exercises the dropout code path without
+    # the heavy 1/3-head noise that (also in the reference) blocks a 30-step
+    # overfit of 4 samples
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, mask_prob=0.02))
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    step_fn = make_train_step(cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    # one fixed batch, overfit it
+    x = rng.standard_normal((2, 4, 80, 80)).astype(np.float32)
+    x += np.arange(4)[None, :, None, None]  # label-correlated signal
+    batch = {
+        "inputs": x,
+        "lengths": np.full((2, 4), 80, np.int32),
+        "labels": np.tile(np.arange(4, dtype=np.int32), (2, 1)),
+    }
+    losses = []
+    for i in range(40):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 40
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_trainer_end_to_end(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, validate_every=4, max_epochs=4)
+    tr = Trainer(cfg)
+    tr.train()
+    assert int(tr.state.step) > 0
+    assert tr.best_eer <= 50.0
+    # a random tiny model may never beat the initial best_EER=50 (the
+    # reference has the same behavior); force one more validation that must
+    # improve and write the best checkpoint
+    tr.best_eer = 1000.0
+    tr._on_validation()
+    assert tr.best_ckpt_path and os.path.exists(tr.best_ckpt_path)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    path = str(tmp_path / "ck_5.npz")
+    save_checkpoint(path, state, {"step": 5, "note": "x"})
+    params2, ms2 = init_speaker_classifier(jax.random.PRNGKey(1), cfg.model)
+    template = init_train_state(params2, ms2, cfg)
+    restored, meta = load_checkpoint(path, template)
+    assert meta["step"] == 5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state, restored,
+    )
+
+
+def test_resume_continues_training(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, validate_every=0, max_epochs=1, checkpoint_every=2)
+    tr = Trainer(cfg)
+    tr.train()
+    steps_done = int(tr.state.step)
+    assert steps_done >= 2
+    assert latest_checkpoint(cfg.out_dir) is not None
+
+    tr2 = Trainer(cfg)
+    assert tr2.resume()
+    # restored step matches the newest checkpoint
+    ck = latest_checkpoint(cfg.out_dir)
+    assert f"_{int(tr2.state.step)}.npz" in ck
+
+
+def test_lr_halving_logic(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path)
+    tr = Trainer(cfg)
+    lr0 = get_lr(tr.state.opt_state)
+    tr.stopping = 14  # (14+1) % 15 == 0 -> halve
+    tr._halve_lr_if_stagnant()
+    assert get_lr(tr.state.opt_state) == pytest.approx(lr0 * 0.5)
+    tr.stopping = 3
+    tr._halve_lr_if_stagnant()
+    assert get_lr(tr.state.opt_state) == pytest.approx(lr0 * 0.5)  # unchanged
