@@ -1,0 +1,59 @@
+"""Feature-extraction CLI (reference ``scripts/featureExtractor.py:35-51``).
+
+Reads a list of wav paths and writes ``<base>.pickle`` files containing the
+raw (80, T) log-mel matrix — the exact on-disk format the reference training
+pipeline consumes (normalization happens at load time, ``data.py:21-30``).
+
+Differences by design: audio is decoded by our native/python WAV reader and
+the mel chain runs as a single jitted JAX program (batched over files of
+equal length buckets is unnecessary here — extraction is IO-bound); the
+reference's ``[:-5]`` filename slicing (which requires rows to end in
+``.wav``) is replaced by proper extension handling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+from ..config import FeatureConfig
+from ..data.wav import read_wav
+from ..dsp.features import log_mel_spectrogram
+
+
+def extract_file(audio_path: str, cfg: FeatureConfig) -> np.ndarray:
+    """wav -> raw (n_mels, T) log-mel, reference ``mfsc`` layout."""
+    wave, sr = read_wav(audio_path)
+    if sr != cfg.sample_rate:
+        raise ValueError(f"{audio_path}: sample rate {sr} != {cfg.sample_rate}")
+    feats = np.asarray(log_mel_spectrogram(wave.astype(np.float32), cfg))
+    return feats.T  # (T, 80) -> (80, T) on-disk layout
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Extract log-mel features from a list of wav files."
+    )
+    parser.add_argument("--audioFilesList", "-i", type=str, required=True,
+                        help="text file with one wav path per line")
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    params = parser.parse_args(argv)
+
+    cfg = FeatureConfig(sample_rate=params.sample_rate)
+    with open(params.audioFilesList, "r") as files:
+        for line in files:
+            path = line.strip()
+            if not path:
+                continue
+            print(path)
+            feats = extract_file(path, cfg)
+            base = path[:-4] if path.endswith(".wav") else path
+            with open(f"{base}.pickle", "wb") as handle:
+                pickle.dump(feats, handle)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

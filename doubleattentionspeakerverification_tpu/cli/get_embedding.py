@@ -1,0 +1,71 @@
+"""Embedding-inference CLI (reference ``scripts/getEmbeddingExample.py``).
+
+Loads a checkpoint — ours (.npz) or a reference torch ``.chkpt`` (converted
+on the fly) — extracts CMN'd log-mel features from a wav and prints the
+scoring embedding. Like the reference, the model config embedded in the
+checkpoint wins (``getEmbeddingExample.py:27-28``), and inference
+normalization is CMN regardless of the training setting
+(``featureExtractor.py:25-33``) unless overridden.
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig, FeatureConfig
+from ..data.wav import read_wav
+from ..dsp.features import extract_normalized
+from ..models.classifier import get_embedding, init_speaker_classifier
+from ..training.step import init_train_state
+from ..utils.checkpoint import load_checkpoint
+
+
+def load_model(checkpoint_path: str):
+    """Returns (params, model_state, ExperimentConfig)."""
+    if checkpoint_path.endswith((".chkpt", ".pt", ".pth")):
+        from ..utils.torch_import import load_torch_checkpoint
+
+        params, state, cfg, _epoch, _step = load_torch_checkpoint(checkpoint_path)
+        return params, state, cfg
+    # ours: restore into a freshly-initialized template of the saved config
+    import json
+    import numpy as _np
+
+    with _np.load(checkpoint_path) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+    cfg = ExperimentConfig.from_dict(meta["config"])
+    p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    template = init_train_state(p0, ms0, cfg)
+    state, _ = load_checkpoint(checkpoint_path, template)
+    return state.params, state.model_state, cfg
+
+
+def embed_wav(audio_path: str, params, model_state, cfg: ExperimentConfig,
+              normalization: str = "cmn") -> np.ndarray:
+    wave, sr = read_wav(audio_path)
+    feat_cfg = cfg.features if sr == cfg.features.sample_rate else FeatureConfig(sample_rate=sr)
+    feats = extract_normalized(wave.astype(np.float32), feat_cfg, normalization)
+    emb = get_embedding(params, model_state, np.asarray(feats)[None], None, cfg.model)
+    return np.asarray(emb)[0]
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Print the speaker embedding of one audio file.")
+    parser.add_argument("--audioPath", type=str, required=True)
+    parser.add_argument("--modelCheckpoint", type=str, required=True)
+    parser.add_argument("--normalization", type=str, default="cmn", choices=["cmn", "cmvn"])
+    params = parser.parse_args(argv)
+
+    model_params, model_state, cfg = load_model(params.modelCheckpoint)
+    emb = embed_wav(params.audioPath, model_params, model_state, cfg, params.normalization)
+    np.set_printoptions(precision=6, suppress=False)
+    print(emb)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Training CLI (reference ``scripts/train.py:251-305``).
+
+Flag names mirror the reference so its users can bring their launch scripts
+over; everything maps onto the typed ExperimentConfig, which is written to
+``{out_dir}/{model_name}_config.json`` at startup (the reference pickles the
+argparse Namespace, ``train.py:302-303``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import (
+    DataConfig,
+    ExperimentConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+    count_speakers,
+)
+from ..training.trainer import Trainer
+from ..utils.logging import MetricLogger
+
+
+def build_config(params: argparse.Namespace) -> ExperimentConfig:
+    num_spkrs = count_speakers(params.train_labels_path)
+    print(f"{num_spkrs} Speaker Labels")
+    cfg = ExperimentConfig(
+        model_name=params.model_name,
+        out_dir=params.out_dir,
+        model=ModelConfig(
+            front_end=params.front_end,
+            kernel_size=params.kernel_size,
+            embedding_size=params.embedding_size,
+            heads_number=params.heads_number,
+            pooling_method=params.pooling_method,
+            mask_prob=params.mask_prob,
+            num_spkrs=num_spkrs,
+            scaling_factor=params.scalingFactor,
+            margin_factor=params.marginFactor,
+            annealing=params.annealing,
+            compute_dtype=params.compute_dtype,
+        ),
+        train=TrainConfig(
+            window_size=params.window_size,
+            random_slicing=params.randomSlicing,
+            normalization=params.normalization,
+            optimizer=params.optimizer,
+            learning_rate=params.learning_rate,
+            weight_decay=params.weight_decay,
+            batch_size=params.batch_size,
+            gradient_accumulation=params.gradientAccumulation,
+            max_epochs=params.max_epochs,
+            early_stopping=params.early_stopping,
+            print_every=params.print_every,
+            validate_every=params.validate_every,
+            checkpoint_every=params.checkpoint_every,
+            seed=params.seed,
+        ),
+        data=DataConfig(
+            train_data_dir=params.train_data_dir,
+            valid_data_dir=params.valid_data_dir,
+            train_labels_path=params.train_labels_path,
+            valid_clients=params.valid_clients,
+            valid_impostors=params.valid_impostors,
+            source=params.data_source,
+            num_workers=params.num_workers,
+        ),
+        mesh=MeshConfig(model_axis=params.model_parallel),
+    )
+    return cfg
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train a VGG + attention-pooling speaker embedding extractor (TPU-native)."
+    )
+    parser.add_argument("--train_data_dir", type=str, default="")
+    parser.add_argument("--valid_data_dir", type=str, default="")
+    parser.add_argument("--train_labels_path", type=str, default="labels/Vox2.ndx")
+    parser.add_argument("--valid_clients", type=str, default="labels/clients.ndx")
+    parser.add_argument("--valid_impostors", type=str, default="labels/impostors.ndx")
+    parser.add_argument("--out_dir", type=str, default="./models/model1")
+    parser.add_argument("--model_name", type=str, default="CNN")
+    parser.add_argument("--front_end", type=str, default="VGG4L", choices=["VGG3L", "VGG4L"])
+    # network
+    parser.add_argument("--window_size", type=float, default=3.5)
+    parser.add_argument("--randomSlicing", action="store_true")
+    parser.add_argument("--normalization", type=str, default="cmn", choices=["cmn", "cmvn"])
+    parser.add_argument("--kernel_size", type=int, default=1024)
+    parser.add_argument("--embedding_size", type=int, default=400)
+    parser.add_argument("--heads_number", type=int, default=32)
+    parser.add_argument("--pooling_method", type=str, default="DoubleMHA",
+                        choices=["Attention", "MHA", "DoubleMHA", "StatisticalPooling"])
+    parser.add_argument("--mask_prob", type=float, default=0.3)
+    # AM-Softmax
+    parser.add_argument("--scalingFactor", type=float, default=30.0)
+    parser.add_argument("--marginFactor", type=float, default=0.4)
+    parser.add_argument("--annealing", action="store_true")
+    # optimization
+    parser.add_argument("--optimizer", type=str, default="Adam", choices=["Adam", "SGD", "RMSprop"])
+    parser.add_argument("--learning_rate", type=float, default=0.0001)
+    parser.add_argument("--weight_decay", type=float, default=0.001)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--gradientAccumulation", type=int, default=2)
+    parser.add_argument("--max_epochs", type=int, default=1000000)
+    parser.add_argument("--early_stopping", type=int, default=25)
+    parser.add_argument("--print_every", type=int, default=1000)
+    parser.add_argument("--requeue", action="store_true")
+    parser.add_argument("--validate_every", type=int, default=10000)
+    parser.add_argument("--num_workers", type=int, default=2)
+    # TPU-native extensions
+    parser.add_argument("--data_source", type=str, default="features", choices=["features", "wav"],
+                        help="'features': reference-format pickles; 'wav': on-device log-mel")
+    parser.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="shards of the AM-Softmax classifier over the mesh 'model' axis")
+    parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=1234)
+    return parser
+
+
+def main(argv=None) -> int:
+    params = make_parser().parse_args(argv)
+    cfg = build_config(params)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    name = cfg.derived_model_name()
+    with open(os.path.join(cfg.out_dir, f"{name}_config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    logger = MetricLogger(jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"))
+    trainer = Trainer(cfg, logger=logger)
+    if params.requeue:
+        trainer.resume()
+    trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

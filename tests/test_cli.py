@@ -1,0 +1,127 @@
+"""CLI end-to-end: wav list -> feature pickles -> training -> embedding."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from doubleattentionspeakerverification_tpu.cli.extract_features import main as extract_main
+from doubleattentionspeakerverification_tpu.cli.get_embedding import main as embed_main
+from doubleattentionspeakerverification_tpu.cli.train import main as train_main
+from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+
+def _make_wavs(root, n_speakers=3, per_speaker=4, seconds=1.2, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    paths, labels = [], []
+    for spk in range(n_speakers):
+        f0 = 150 + 90 * spk
+        for i in range(per_speaker):
+            t = np.arange(int(seconds * sr)) / sr
+            y = 0.25 * np.sin(2 * np.pi * f0 * t) + 0.18 * np.sin(2 * np.pi * 2.3 * f0 * t)
+            y += 0.02 * rng.standard_normal(len(t))
+            p = os.path.join(root, f"spk{spk}_utt{i}.wav")
+            write_wav(p, y, sr)
+            paths.append(p)
+            labels.append(spk)
+    return paths, labels
+
+
+def test_full_cli_pipeline(tmp_path, capsys):
+    root = str(tmp_path / "wavs")
+    paths, labels = _make_wavs(root)
+
+    # 1. extract features
+    lst = tmp_path / "files.lst"
+    lst.write_text("".join(p + "\n" for p in paths))
+    assert extract_main(["-i", str(lst)]) == 0
+    for p in paths:
+        pk = p[:-4] + ".pickle"
+        assert os.path.exists(pk)
+        with open(pk, "rb") as f:
+            feats = pickle.load(f)
+        assert feats.shape[0] == 80 and feats.shape[1] > 90  # (80, T)
+
+    # 2. labels + trials
+    rel = [os.path.relpath(p, root)[:-4] for p in paths]
+    (tmp_path / "labels.ndx").write_text(
+        "".join(f"{r} {l} -1\n" for r, l in zip(rel, labels))
+    )
+    (tmp_path / "clients.ndx").write_text(f"{rel[0]} {rel[1]}\n")
+    (tmp_path / "impostors.ndx").write_text(f"{rel[0]} {rel[-1]}\n")
+
+    # 3. train a tiny model for a couple of steps
+    out_dir = str(tmp_path / "out")
+    rc = train_main([
+        "--train_data_dir", root,
+        "--valid_data_dir", root,
+        "--train_labels_path", str(tmp_path / "labels.ndx"),
+        "--valid_clients", str(tmp_path / "clients.ndx"),
+        "--valid_impostors", str(tmp_path / "impostors.ndx"),
+        "--out_dir", out_dir,
+        "--kernel_size", "16", "--heads_number", "4", "--embedding_size", "24",
+        "--window_size", "0.6", "--batch_size", "3", "--gradientAccumulation", "2",
+        "--max_epochs", "1", "--validate_every", "2", "--print_every", "1",
+        "--checkpoint_every", "1",
+    ])
+    assert rc == 0
+    ckpts = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert ckpts, os.listdir(out_dir)
+    assert any(f.endswith("_config.json") for f in os.listdir(out_dir))
+
+    # 4. embedding CLI from the checkpoint
+    ckpt = os.path.join(out_dir, sorted(ckpts)[-1])
+    rc = embed_main(["--audioPath", paths[0], "--modelCheckpoint", ckpt])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[" in out  # printed embedding vector
+
+
+def test_reference_chkpt_import_roundtrip(tmp_path):
+    """Export a reference torch checkpoint -> load through the CLI loader ->
+    embeddings match the torch model."""
+    pytest.importorskip("torch")
+    from conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import argparse
+
+    import torch
+
+    from conftest import add_reference_path
+
+    add_reference_path()
+    from model import SpeakerClassifier  # reference
+
+    ns = argparse.Namespace(
+        front_end="VGG4L", kernel_size=16, embedding_size=24, heads_number=4,
+        pooling_method="DoubleMHA", mask_prob=0.3, num_spkrs=5,
+        scalingFactor=30.0, marginFactor=0.4, annealing=False,
+        window_size=3.5, randomSlicing=False, normalization="cmn",
+        optimizer="Adam", learning_rate=1e-4, weight_decay=1e-3,
+        batch_size=64, gradientAccumulation=2, max_epochs=10,
+        early_stopping=25, print_every=1000, validate_every=10000,
+        model_name="CNN", out_dir=str(tmp_path),
+    )
+    torch.manual_seed(3)
+    net = SpeakerClassifier(ns, torch.device("cpu")).eval()
+    ckpt_path = str(tmp_path / "ref.chkpt")
+    torch.save(
+        {"model": net.state_dict(), "optimizer": {}, "settings": ns, "epoch": 2, "step": 7},
+        ckpt_path,
+    )
+
+    from doubleattentionspeakerverification_tpu.cli.get_embedding import load_model
+    from doubleattentionspeakerverification_tpu.models.classifier import get_embedding
+
+    params, state, cfg = load_model(ckpt_path)
+    assert cfg.model.kernel_size == 16 and cfg.model.num_spkrs == 5
+
+    x = np.random.default_rng(0).standard_normal((2, 50, 80)).astype(np.float32)
+    ours = np.asarray(get_embedding(params, state, x, None, cfg.model))
+    with torch.no_grad():
+        ref = net.getEmbedding(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
