@@ -1,0 +1,120 @@
+"""Benchmark: training + embedding throughput of the flagship model on TPU.
+
+Flagship = the reference's shipped paper config (VGG4L, kernel 1024, 32
+heads, DoubleMHA, emb 400, ~5994 speakers; batch 64 x grad-accum 2, 3.5 s
+windows — ``scripts/train.py:263-291`` defaults).
+
+Prints ONE JSON line:
+  {"metric": "train_throughput", "value": <audio-seconds/s/chip>,
+   "unit": "audio_s/s/chip", "vs_baseline": <ratio>, ...extras}
+
+vs_baseline: the reference publishes no numbers (README links the paper
+only). BASELINE.md documents the estimate used here: the reference's
+~25 GFLOP/sample training step (8.3 GFLOP fwd, conv-dominated) at a
+V100-class 30% fp32 utilization => ~660 audio-seconds/s. The ratio is our
+measured audio-s/s per chip against that estimate.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_AUDIO_S_PER_S = 660.0  # see BASELINE.md
+
+
+def main():
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import (
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        get_embedding,
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import (
+        init_train_state,
+        make_train_step,
+    )
+    from functools import partial
+
+    compute_dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
+    cfg = ExperimentConfig(
+        model=ModelConfig(compute_dtype=compute_dtype),
+        train=TrainConfig(),
+    )
+    g, b = cfg.train.gradient_accumulation, cfg.train.batch_size
+    t = int(cfg.train.window_size * 100)  # 350 frames = 3.5 s
+    window_audio_s = cfg.train.window_size
+
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    step_fn = make_train_step(cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": rng.standard_normal((g, b, t, 80)).astype(np.float32),
+        "lengths": np.full((g, b), t, np.int32),
+        "labels": rng.integers(0, cfg.model.num_spkrs, (g, b)).astype(np.int32),
+    }
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+
+    # ---- train throughput
+    state, m = step_fn(state, batch, key)  # compile
+    jax.block_until_ready(m)
+    warm = 2
+    iters = 10
+    for i in range(warm):
+        state, m = step_fn(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step_fn(state, batch, key)
+    jax.block_until_ready(m)
+    train_elapsed = time.perf_counter() - t0
+    steps_per_s = iters / train_elapsed
+    train_audio = steps_per_s * g * b * window_audio_s
+
+    # ---- embedding throughput (10 s utterances, batch 16)
+    eb, et = 16, 1000
+    embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
+    x = rng.standard_normal((eb, et, 80)).astype(np.float32)
+    lens = np.full((eb,), et, np.int32)
+    x = jax.device_put(x)
+    e = embed_fn(state.params, state.model_state, x, lens)
+    jax.block_until_ready(e)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        e = embed_fn(state.params, state.model_state, x, lens)
+    jax.block_until_ready(e)
+    embed_elapsed = time.perf_counter() - t0
+    embed_audio = (iters * eb * (et / 100.0)) / embed_elapsed
+
+    # ~25 GFLOP/sample for fwd+bwd at T=350 (BASELINE.md)
+    train_tflops = steps_per_s * g * b * 25.0e9 / 1e12
+
+    result = {
+        "metric": "train_throughput",
+        "value": round(train_audio, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(train_audio / REFERENCE_BASELINE_AUDIO_S_PER_S, 3),
+        "extras": {
+            "step_time_ms": round(1000 * train_elapsed / iters, 2),
+            "train_samples_per_s": round(steps_per_s * g * b, 1),
+            "approx_train_tflops": round(train_tflops, 1),
+            "embed_audio_s_per_s": round(embed_audio, 1),
+            "compute_dtype": compute_dtype,
+            "batch": f"{g}x{b}x{t}",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,10 @@ class ModelConfig:
     annealing: bool = False
     # Numerics
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16' for conv/matmul compute
+    # Fused pallas attention-pooling kernel (ops/pooling_pallas.py): one HBM
+    # pass over the encoder output instead of three. Alignments are not
+    # produced on this path (they are introspection-only).
+    use_pallas_pooling: bool = False
     # Parity toggle: reference scales MHA scores by sqrt(heads_number)
     # because of the d_k=query.size(-1)==heads quirk (scripts/poolings.py:75-76).
     # True  -> divide by sqrt(heads_number)  (reference behavior)

@@ -105,6 +105,13 @@ def mha_pool(
     b, t, d = ht.shape
     heads = cfg.heads_number
     d_h = d // heads
+    if cfg.use_pallas_pooling:
+        from ..ops.pooling_pallas import mha_pool_pallas
+
+        ctx = mha_pool_pallas(
+            params, ht, lengths, heads=heads, dk_is_heads=cfg.mha_dk_is_heads
+        )
+        return ctx, None  # alignments are introspection-only; use XLA path
     ht_r = ht.reshape(b, t, heads, d_h)
     d_k = float(heads if cfg.mha_dk_is_heads else d_h)
     scores = jnp.einsum("bthd,dh->bth", ht_r, params["query"]) / math.sqrt(d_k)

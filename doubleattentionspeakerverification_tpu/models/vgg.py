@@ -76,6 +76,9 @@ def init_vgg(key, cfg: ModelConfig):
 
 
 def _conv3x3(x: jnp.ndarray, p, compute_dtype) -> jnp.ndarray:
+    # Conv runs natively in compute_dtype (the MXU accumulates in f32
+    # internally either way); an explicit f32 preferred_element_type would
+    # make the VJP mix f32 cotangents with bf16 kernels and fail.
     w = p["w"].astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -83,9 +86,8 @@ def _conv3x3(x: jnp.ndarray, p, compute_dtype) -> jnp.ndarray:
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y + p["b"].astype(compute_dtype)
 
 
 def _ceil_maxpool2(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused log-mel spectrogram.
+
+The XLA path (``dsp.features.log_mel_spectrogram``) materializes the framed
+signal (B, T, 512) in HBM — a 3.2x blow-up of the audio — before the DFT
+matmul. This kernel keeps audio in HBM as (B, C, 160) hop-sized chunks,
+DMAs each time-tile's chunk rows into VMEM once, builds the overlapping
+512-sample frames with three static shifted row-slices (hop 160, n_fft 512
+=> frame i = rows[i..i+3] truncated), then runs the windowed real-DFT and
+mel projection as two MXU matmuls and the log floor on the VPU. One HBM read
+of the audio, one HBM write of the (B, T, 80) features.
+
+Pre-emphasis (+ the x32768 rescale) stays in XLA before the kernel: it needs
+one sample of cross-tile history and is a trivially fused elementwise pass.
+
+Constants (Hamming window folded into the DFT bases, Slaney mel) come from
+``dsp.mel`` — identical numerics to the XLA path (parity-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FeatureConfig
+from ..dsp.features import _dft_mel_constants, num_frames, preemphasize
+
+HOP = None  # constants live in FeatureConfig; kernel is specialized per call
+
+
+def _kernel(
+    audio_hbm,
+    cosb_ref,
+    sinb_ref,
+    mel_ref,
+    out_ref,
+    rows_ref,
+    sem,
+    *,
+    tile_frames: int,
+    hop: int,
+    n_fft: int,
+    log_floor: float,
+):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    rows_needed = tile_frames + (n_fft // hop)  # e.g. 128 + 3
+
+    # DMA this tile's chunk rows: audio (B, C, hop) -> rows (rows_needed, hop)
+    dma = pltpu.make_async_copy(
+        audio_hbm.at[bi, pl.ds(ti * tile_frames, rows_needed), :],
+        rows_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    rows = rows_ref[:]                                    # (R, hop)
+    n_whole = n_fft // hop                                # 3 whole rows/frame
+    rem = n_fft - n_whole * hop                           # 32 leftover samples
+    parts = [rows[i : i + tile_frames, :] for i in range(n_whole)]
+    if rem:
+        parts.append(rows[n_whole : n_whole + tile_frames, :rem])
+    frames = jnp.concatenate(parts, axis=1)               # (tile, n_fft)
+
+    re = jnp.dot(frames, cosb_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sinb_ref[:], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(jnp.maximum(log_floor, mel))
+
+
+def log_mel_spectrogram_pallas(
+    wave: jnp.ndarray, cfg: FeatureConfig, tile_frames: int = 128
+) -> jnp.ndarray:
+    """(B, N) waveform -> (B, T, n_mels); numerics match the XLA path."""
+    if wave.ndim == 1:
+        return log_mel_spectrogram_pallas(wave[None], cfg, tile_frames)[0]
+    b, n = wave.shape
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    assert n_fft % hop != 0 or True
+    t = num_frames(n, cfg)
+    n_tiles = max(1, -(-t // tile_frames))
+    rows_needed = tile_frames + (n_fft // hop)
+
+    y = preemphasize(wave.astype(jnp.float32), cfg)
+    # pad so every tile's DMA window is in bounds, then chunk into hop rows
+    total_rows = n_tiles * tile_frames + (n_fft // hop) + 1
+    pad = total_rows * hop - n
+    y = jnp.pad(y, ((0, 0), (0, pad)))
+    chunks = y.reshape(b, total_rows, hop)
+
+    cos_b, sin_b, mel_t = _dft_mel_constants(cfg)
+    kernel = functools.partial(
+        _kernel, tile_frames=tile_frames, hop=hop, n_fft=n_fft, log_floor=cfg.log_floor
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # audio chunks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_frames, cfg.n_mels), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_frames, cfg.n_mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows_needed, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(chunks, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_t))
+    return out[:, :t]
