@@ -76,10 +76,14 @@ class WavSource:
         self.window_samples = num_samples_for_frames(window_frames, feat_cfg)
         self.native_reader = native_reader
 
-    def load(self, utt: Utterance, rng: np.random.Generator):
+    def _path(self, utt: Utterance) -> str:
         path = f"{self.data_dir}/{utt.path}"
         if not path.endswith(".wav"):
             path += ".wav"
+        return path
+
+    def load(self, utt: Utterance, rng: np.random.Generator):
+        path = self._path(utt)
         if self.native_reader is not None:
             wave = self.native_reader(path)
         else:
@@ -90,6 +94,32 @@ class WavSource:
         start = int(rng.integers(0, hi + 1))
         win = wave[start : start + min(n, w)].astype(np.float32)
         return win, win.shape[0]
+
+    def load_batch(self, utts, rng: np.random.Generator):
+        """Whole-batch parallel decode + window via the native loader
+        (falls back to per-file python reads). Returns (windows, lengths)."""
+        try:
+            from ..utils.native import native_available, native_read_windows
+        except Exception:
+            native_available = lambda: False  # noqa: E731
+        if not native_available():
+            wins = np.zeros((len(utts), self.window_samples), np.float32)
+            lengths = np.zeros((len(utts),), np.int64)
+            for i, u in enumerate(utts):
+                w, n = self.load(u, rng)
+                wins[i, :n] = w
+                lengths[i] = n
+            return wins, lengths
+        seeds = rng.integers(0, 2**63 - 1, size=len(utts), dtype=np.uint64)
+        wins, lengths = native_read_windows(
+            [self._path(u) for u in utts], self.window_samples, seeds
+        )
+        bad = np.where(lengths < 0)[0]
+        for i in bad:  # fall back per-file so one corrupt wav raises cleanly
+            w, n = self.load(utts[i], rng)
+            wins[i, :n] = w
+            lengths[i] = n
+        return wins, lengths
 
 
 class TrainLoader:
@@ -138,12 +168,16 @@ class TrainLoader:
             t_dim = self.window_frames
             inputs = np.zeros((g * b, t_dim, self.feature_dim), np.float32)
         lengths = np.zeros((g * b,), np.int32)
-        labels = np.zeros((g * b,), np.int32)
-        for i, utt in enumerate(utts):
-            win, n = self.source.load(utt, rng)
-            inputs[i, :n] = win
-            lengths[i] = n
-            labels[i] = utt.label
+        labels = np.asarray([u.label for u in utts], np.int32)
+        if self.is_wave and hasattr(self.source, "load_batch"):
+            wins, lens = self.source.load_batch(utts, rng)
+            inputs[:, :] = wins
+            lengths[:] = lens
+        else:
+            for i, utt in enumerate(utts):
+                win, n = self.source.load(utt, rng)
+                inputs[i, :n] = win
+                lengths[i] = n
 
         if self.cfg.random_slicing and not self.is_wave:
             # Reference truncates each batch to a random length in

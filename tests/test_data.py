@@ -112,3 +112,33 @@ def test_trials_loader(tmp_path):
     p = tmp_path / "clients.ndx"
     p.write_text("u1 u2\nu3 u4\n")
     assert load_trials(str(p)) == [("u1", "u2"), ("u3", "u4")]
+
+
+def test_train_loader_wav_mode(tmp_path):
+    from doubleattentionspeakerverification_tpu.config import FeatureConfig
+    from doubleattentionspeakerverification_tpu.data.dataset import WavSource
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    sr = 16000
+    root = tmp_path / "wavs"
+    root.mkdir()
+    lines = []
+    rng = np.random.default_rng(0)
+    for spk in range(2):
+        for i in range(4):
+            secs = 0.4 + 0.3 * i
+            t = np.arange(int(secs * sr)) / sr
+            y = 0.2 * np.sin(2 * np.pi * (200 + 100 * spk) * t)
+            write_wav(str(root / f"s{spk}_{i}.wav"), y, sr)
+            lines.append(f"s{spk}_{i} {spk} -1\n")
+    manifest = parse_train_manifest(lines)
+    tcfg = TrainConfig(window_size=0.5, batch_size=2, gradient_accumulation=2)
+    source = WavSource(str(root), FeatureConfig(), window_frames=50)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), is_wave=True)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["waves"].shape == (2, 2, source.window_samples)
+    assert b["lengths"].max() <= source.window_samples
+    assert b["lengths"].min() > 0
+    assert np.isfinite(b["waves"]).all()

@@ -209,3 +209,26 @@ def test_lr_halving_logic(tmp_path):
     tr.stopping = 3
     tr._halve_lr_if_stagnant()
     assert get_lr(tr.state.opt_state) == pytest.approx(lr0 * 0.5)  # unchanged
+
+
+def test_train_step_wav_mode(tmp_path):
+    """Wav-mode step: on-device log-mel + masked CMN inside the jitted step."""
+    from doubleattentionspeakerverification_tpu.dsp.features import num_samples_for_frames
+
+    cfg = _tiny_cfg(tmp_path)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    step_fn = make_train_step(cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    n = num_samples_for_frames(60, cfg.features)
+    waves = (rng.standard_normal((2, 4, n)) * 0.1).astype(np.float32)
+    lens = np.array([[n, n - 3200, n, n - 1600]] * 2, np.int32)
+    batch = {
+        "waves": waves,
+        "lengths": lens,
+        "labels": np.tile(np.arange(4, dtype=np.int32), (2, 1)),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
