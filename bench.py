@@ -64,21 +64,36 @@ def main():
     batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
+    # Timing method: on relayed/async TPU backends block_until_ready can
+    # return before execution completes; only a host read of a result forces
+    # a sync, and each sync carries a large constant RPC latency. So: run k
+    # chained steps, fetch one scalar, and difference two chain lengths to
+    # cancel the latency term.
+    def timed_chain(run_one, k):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(k):
+            last = run_one(i)
+        float(last)  # host fetch -> full sync
+        return time.perf_counter() - t0
+
     # ---- train throughput
-    state, m = step_fn(state, batch, key)  # compile
-    jax.block_until_ready(m)
-    warm = 2
-    iters = 10
-    for i in range(warm):
-        state, m = step_fn(state, batch, key)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step_fn(state, batch, key)
-    jax.block_until_ready(m)
-    train_elapsed = time.perf_counter() - t0
-    steps_per_s = iters / train_elapsed
+    state_box = [state]
+
+    def one_train_step(_i):
+        s, m = step_fn(state_box[0], batch, key)
+        state_box[0] = s
+        return m["loss"]
+
+    timed_chain(one_train_step, 1)  # compile + warm
+    k1, k2 = 4, 16
+    t_a = timed_chain(one_train_step, k1)
+    t_b = timed_chain(one_train_step, k2)
+    step_time = max(1e-9, (t_b - t_a) / (k2 - k1))
+    steps_per_s = 1.0 / step_time
     train_audio = steps_per_s * g * b * window_audio_s
+    train_elapsed = step_time  # per-step
+    state = state_box[0]
 
     # ---- embedding throughput (10 s utterances, batch 16)
     eb, et = 16, 1000
@@ -86,14 +101,18 @@ def main():
     x = rng.standard_normal((eb, et, 80)).astype(np.float32)
     lens = np.full((eb,), et, np.int32)
     x = jax.device_put(x)
-    e = embed_fn(state.params, state.model_state, x, lens)
-    jax.block_until_ready(e)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+
+    scalar_of = jax.jit(lambda e: e[0, 0])
+
+    def one_embed(_i):
         e = embed_fn(state.params, state.model_state, x, lens)
-    jax.block_until_ready(e)
-    embed_elapsed = time.perf_counter() - t0
-    embed_audio = (iters * eb * (et / 100.0)) / embed_elapsed
+        return scalar_of(e)
+
+    timed_chain(one_embed, 1)
+    e_a = timed_chain(one_embed, k1)
+    e_b = timed_chain(one_embed, k2)
+    embed_time = max(1e-9, (e_b - e_a) / (k2 - k1))
+    embed_audio = (eb * (et / 100.0)) / embed_time
 
     # ~25 GFLOP/sample for fwd+bwd at T=350 (BASELINE.md)
     train_tflops = steps_per_s * g * b * 25.0e9 / 1e12
@@ -104,7 +123,7 @@ def main():
         "unit": "audio_s/s/chip",
         "vs_baseline": round(train_audio / REFERENCE_BASELINE_AUDIO_S_PER_S, 3),
         "extras": {
-            "step_time_ms": round(1000 * train_elapsed / iters, 2),
+            "step_time_ms": round(1000 * step_time, 2),
             "train_samples_per_s": round(steps_per_s * g * b, 1),
             "approx_train_tflops": round(train_tflops, 1),
             "embed_audio_s_per_s": round(embed_audio, 1),

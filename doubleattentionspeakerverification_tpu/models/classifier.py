@@ -131,6 +131,46 @@ def get_embedding(
     return emb
 
 
+def get_alignments(
+    params,
+    state: ModelState,
+    x: jnp.ndarray,
+    lengths: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+):
+    """Attention-alignment introspection (reference ``DoubleMHA.getAlignments``
+    / ``MultiHeadAttention.getAlignments``, ``poolings.py:95-101,119-123``).
+
+    Returns the time alignment (B, T', H) — and for DoubleMHA additionally
+    the head alignment (B, H) — always via the XLA pooling path.
+    """
+    from .poolings import head_attention_pool, mha_pool
+
+    enc, enc_len = vgg_apply(params["vgg"], x, lengths, cfg)
+    acfg = cfg if not cfg.use_pallas_pooling else dataclasses_replace_no_pallas(cfg)
+    if cfg.pooling_method == "MHA":
+        _, w = mha_pool(params["pooling"], enc, enc_len, acfg)
+        return w
+    if cfg.pooling_method == "DoubleMHA":
+        heads_ctx, w = mha_pool(params["pooling"]["mha"], enc, enc_len, acfg)
+        _, head_w = head_attention_pool(
+            params["pooling"]["head_att"], heads_ctx, acfg, train=False, rng=None
+        )
+        return w, head_w
+    if cfg.pooling_method == "Attention":
+        from .poolings import attention_pool
+
+        _, w = attention_pool(params["pooling"], enc, enc_len)
+        return w
+    raise ValueError(f"no alignments for pooling_method {cfg.pooling_method!r}")
+
+
+def dataclasses_replace_no_pallas(cfg: ModelConfig) -> ModelConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, use_pallas_pooling=False)
+
+
 def speaker_classifier_apply(
     params,
     state: ModelState,

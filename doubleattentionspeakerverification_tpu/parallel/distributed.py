@@ -1,0 +1,56 @@
+"""Multi-host initialization.
+
+The reference scales past one node only via slurm requeue restarts (no
+torch.distributed anywhere — SURVEY §2b). Here multi-host data parallelism
+is native: ``jax.distributed.initialize`` connects the hosts, every host
+runs the same program, the global mesh spans all chips (ICI within a slice,
+DCN across hosts, both handled by the runtime), and each host feeds its own
+manifest shard (``data.manifest.shard_for_host``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class HostInfo:
+    host_id: int
+    num_hosts: int
+    local_device_count: int
+    global_device_count: int
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> HostInfo:
+    """Initialize multi-host JAX if configured; no-op for single host.
+
+    Configuration comes from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, also
+    populated automatically on Cloud TPU VMs / slurm via jax's cluster
+    detection).
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    want_multi = coordinator_address is not None or os.environ.get("SLURM_NTASKS")
+    if want_multi and jax.process_count() == 1:
+        kwargs = {}
+        if coordinator_address:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return HostInfo(
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        local_device_count=jax.local_device_count(),
+        global_device_count=jax.device_count(),
+    )

@@ -1,0 +1,83 @@
+"""Aux subsystems: profiling meter, distributed init (single host), VAD,
+alignment introspection, logging."""
+
+import numpy as np
+
+import jax
+
+from doubleattentionspeakerverification_tpu.config import ModelConfig
+from doubleattentionspeakerverification_tpu.data.vad import EnergyVAD, feature_reader
+from doubleattentionspeakerverification_tpu.models.classifier import (
+    get_alignments,
+    init_speaker_classifier,
+)
+from doubleattentionspeakerverification_tpu.parallel.distributed import initialize
+from doubleattentionspeakerverification_tpu.utils.logging import MetricLogger
+from doubleattentionspeakerverification_tpu.utils.profiling import ThroughputMeter
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window_audio_s=3.5, samples_per_step=128, n_chips=2)
+    assert m.audio_seconds_per_second_per_chip() is None
+    m.step(10)
+    v = m.audio_seconds_per_second_per_chip()
+    assert v is not None and v > 0
+    assert m.steps_per_second() > 0
+
+
+def test_distributed_single_host():
+    info = initialize()
+    assert info.num_hosts == 1
+    assert info.host_id == 0
+    assert info.global_device_count >= 1
+
+
+def test_energy_vad(tmp_path):
+    rng = np.random.default_rng(0)
+    # 60 loud frames + 40 near-silent frames (log-mel floor is 0)
+    loud = rng.uniform(5, 10, (80, 60))
+    silent = rng.uniform(0.0, 0.2, (80, 40))
+    feats = np.concatenate([loud, silent], axis=1)
+    vad = EnergyVAD(threshold_db=10)
+    kept = vad.filter(feats)
+    assert 50 <= kept.shape[1] <= 65  # drops (most of) the silence
+    mask = vad.frame_mask(feats)
+    assert mask[:60].mean() > 0.9 and mask[60:].mean() < 0.2
+
+    import pickle
+
+    p = tmp_path / "f.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(feats, f)
+    out = feature_reader(str(p), vad)
+    assert out.shape == (kept.shape[1], 80)
+    out_plain = feature_reader(str(p), None)
+    assert out_plain.shape == (100, 80)
+
+
+def test_get_alignments_double_mha():
+    cfg = ModelConfig(kernel_size=16, heads_number=4, embedding_size=24, num_spkrs=5)
+    params, state = init_speaker_classifier(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).standard_normal((2, 47, 80)).astype(np.float32)
+    lens = np.array([47, 30], np.int32)
+    w, head_w = get_alignments(params, state, x, lens, cfg)
+    t_out = -(-47 // 16)
+    assert w.shape == (2, t_out, 4)
+    assert head_w.shape == (2, 4)
+    # alignments are softmax distributions
+    np.testing.assert_allclose(np.asarray(w).sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(head_w).sum(axis=-1), 1.0, atol=1e-5)
+    # masked time steps carry zero weight for the shorter item
+    t_valid = -(-30 // 16)
+    assert np.all(np.asarray(w)[1, t_valid:, :] < 1e-6)
+
+
+def test_metric_logger_jsonl(tmp_path):
+    import json
+
+    p = str(tmp_path / "m.jsonl")
+    log = MetricLogger(jsonl_path=p)
+    log.log("train", step=3, loss=1.25)
+    log.close()
+    rec = json.loads(open(p).read().strip())
+    assert rec["event"] == "train" and rec["loss"] == 1.25
