@@ -210,3 +210,81 @@ def test_statistical_pooling_variant():
     emb = get_embedding(params, state, x, None, cfg)
     assert emb.shape == (2, 24)
     assert np.all(np.isfinite(np.asarray(emb)))
+
+
+def test_full_train_step_parity_vs_torch():
+    """Whole optimizer step vs torch: 2 summed microbatch gradients
+    (reference train.py:219-226), Adam + weight decay, train-mode BN.
+    Uses MHA pooling (no dropout RNG on either side)."""
+    import torch
+
+    from doubleattentionspeakerverification_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    net, mcfg = _ref_model(pooling="MHA", kernel=16, heads=4, emb=24, n_spk=6)
+    net.train()
+    params, state = _import(net, mcfg)
+
+    cfg = ExperimentConfig(
+        model=mcfg,
+        train=TrainConfig(
+            batch_size=4, gradient_accumulation=2, optimizer="Adam",
+            learning_rate=1e-3, weight_decay=1e-2,
+        ),
+    )
+    tstate = init_train_state(params, state, cfg)
+    step_fn = make_train_step(cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 40, 80)).astype(np.float32)
+    labels = np.array([[0, 1, 2, 3], [4, 5, 0, 1]], np.int32)
+    batch = {
+        "inputs": x,
+        "lengths": np.full((2, 4), 40, np.int32),
+        "labels": labels,
+    }
+    new_state, metrics = step_fn(tstate, batch, jax.random.PRNGKey(0))
+
+    # torch equivalent
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-2)
+    crit = torch.nn.CrossEntropyLoss()
+    opt.zero_grad()
+    losses = []
+    for g in range(2):
+        pred, ampred = net(torch.tensor(x[g]), torch.tensor(labels[g]).long(), 0)
+        loss = crit(ampred, torch.tensor(labels[g]).long())
+        loss.backward()
+        losses.append(float(loss))
+    opt.step()
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(losses), rtol=1e-5
+    )
+    ours_after, _ = _import(net, mcfg)  # re-export torch params post-step
+    flat_t = jax.tree_util.tree_flatten_with_path(ours_after)[0]
+    flat_j = dict(
+        ("/".join(str(getattr(p, "key", p)) for p in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    )
+    # tolerance: a numerically-zero gradient (dead ReLU unit) makes Adam's
+    # update ±lr regardless of magnitude, so float noise can flip its sign;
+    # bound per-element error by ~2*lr and require the bulk to agree tightly
+    n_loose, n_total = 0, 0
+    for path, torch_leaf in flat_t:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        diff = np.abs(np.asarray(flat_j[key]) - np.asarray(torch_leaf))
+        assert diff.max() <= 2.1e-3, (key, diff.max())
+        n_loose += int(np.sum(diff > 5e-5))
+        n_total += diff.size
+    assert n_loose / n_total < 0.001, (n_loose, n_total)
+    # BN running stats after two microbatch forwards
+    np.testing.assert_allclose(
+        np.asarray(new_state.model_state.bn_mean), net.b2.running_mean.numpy(), atol=1e-5
+    )
