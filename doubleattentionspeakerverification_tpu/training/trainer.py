@@ -63,6 +63,20 @@ class Trainer:
         self.train_step = make_train_step(cfg)
         self._embed_jit = jax.jit(partial(get_embedding, cfg=cfg.model))
 
+        # Mesh placement: with >1 device the batch shards over 'data' and the
+        # AM-Softmax W (+ its optimizer moments) over 'model'; the same jitted
+        # step runs either way (XLA GSPMD inserts the collectives).
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import batch_shardings, make_mesh, shard_train_state
+
+            self.mesh = make_mesh(cfg.mesh)
+            self.state = shard_train_state(self.state, self.mesh)
+            self._batch_shardings = batch_shardings(
+                {"inputs": None, "waves": None, "lengths": None, "labels": None},
+                self.mesh,
+            )
+
         self._load_data()
 
         self.best_eer = 50.0
@@ -175,6 +189,10 @@ class Trainer:
         if path is None:
             return False
         state, meta = load_checkpoint(path, self.state)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, self.mesh)
         self.state = state
         self.starting_epoch = int(meta.get("epoch", 0)) + 1
         self.best_eer = float(meta.get("best_eer", 50.0))
@@ -204,6 +222,10 @@ class Trainer:
                      steps_per_epoch=self.loader.steps_per_epoch())
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             for batch in self.loader.epoch(self.epoch):
+                if self.mesh is not None:
+                    batch = jax.device_put(
+                        batch, {k: self._batch_shardings[k] for k in batch}
+                    )
                 step_rng = jax.random.fold_in(rng0, int(self.state.step))
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 window_loss += float(metrics["loss"])
