@@ -9,9 +9,11 @@ Prints ONE JSON line:
    "unit": "audio_s/s/chip", "vs_baseline": <ratio>, ...extras}
 
 vs_baseline: the reference publishes no numbers (README links the paper
-only). BASELINE.md documents the estimate used here: the reference's
-~25 GFLOP/sample training step (8.3 GFLOP fwd, conv-dominated) at a
-V100-class 30% fp32 utilization => ~660 audio-seconds/s. The ratio is our
+only). BASELINE.md documents the estimate used here: the identical
+architecture costs ~45.6 GFLOP forward per 3.5 s sample (analytic count,
+``models/flops.py``), ~137 GFLOP trained; a V100-class GPU at a generous
+30% fp32 utilization (4.7 TFLOP/s sustained) gives ~34 samples/s =
+~120 audio-seconds/s for the reference implementation. The ratio is our
 measured audio-s/s per chip against that estimate.
 """
 
@@ -21,7 +23,8 @@ import time
 
 import numpy as np
 
-REFERENCE_BASELINE_AUDIO_S_PER_S = 660.0  # see BASELINE.md
+REFERENCE_BASELINE_AUDIO_S_PER_S = 120.0  # see BASELINE.md
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def main():
@@ -114,8 +117,13 @@ def main():
     embed_time = max(1e-9, (e_b - e_a) / (k2 - k1))
     embed_audio = (eb * (et / 100.0)) / embed_time
 
-    # ~25 GFLOP/sample for fwd+bwd at T=350 (BASELINE.md)
-    train_tflops = steps_per_s * g * b * 25.0e9 / 1e12
+    from doubleattentionspeakerverification_tpu.models.flops import (
+        forward_flops_per_sample,
+        train_flops_per_sample,
+    )
+
+    train_tflops = steps_per_s * g * b * train_flops_per_sample(cfg.model, t) / 1e12
+    embed_tflops = (eb / embed_time) * forward_flops_per_sample(cfg.model, et) / 1e12
 
     result = {
         "metric": "train_throughput",
@@ -125,8 +133,11 @@ def main():
         "extras": {
             "step_time_ms": round(1000 * step_time, 2),
             "train_samples_per_s": round(steps_per_s * g * b, 1),
-            "approx_train_tflops": round(train_tflops, 1),
+            "train_tflops": round(train_tflops, 1),
+            "train_mfu": round(train_tflops / V5E_BF16_PEAK_TFLOPS, 3),
             "embed_audio_s_per_s": round(embed_audio, 1),
+            "embed_tflops": round(embed_tflops, 1),
+            "embed_mfu": round(embed_tflops / V5E_BF16_PEAK_TFLOPS, 3),
             "compute_dtype": compute_dtype,
             "batch": f"{g}x{b}x{t}",
             "device": str(jax.devices()[0]),

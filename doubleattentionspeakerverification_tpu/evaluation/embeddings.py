@@ -36,6 +36,27 @@ def pickle_feature_loader(data_dir: str, normalization: str = "cmn") -> Callable
     return load
 
 
+def wav_feature_loader(data_dir: str, feat_cfg=None, normalization: str = "cmn") -> Callable:
+    """Loader for raw-wav validation sets: decode, log-mel on device, CMN —
+    the ``getEmbeddingExample`` inference combination (CMN regardless of the
+    training normalization is the reference's quirk; here it's an argument)."""
+    from ..config import FeatureConfig
+    from ..data.wav import read_wav
+    from ..dsp.features import extract_normalized
+
+    feat_cfg = feat_cfg or FeatureConfig()
+
+    def load(utt_id: str) -> np.ndarray:
+        path = f"{data_dir}/{utt_id}"
+        if not path.endswith(".wav"):
+            path += ".wav"
+        wave, sr = read_wav(path)
+        cfg = feat_cfg if sr == feat_cfg.sample_rate else FeatureConfig(sample_rate=sr)
+        return np.asarray(extract_normalized(wave.astype(np.float32), cfg, normalization))
+
+    return load
+
+
 def bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:

@@ -33,6 +33,7 @@ NEG_BIG = -1e30
 
 
 def _kernel(len_ref, ht_ref, q_ref, out_ref, m_ref, l_ref, acc_ref, *, t_tile, heads, d_h):
+    bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
 
@@ -51,7 +52,7 @@ def _kernel(len_ref, ht_ref, q_ref, out_ref, m_ref, l_ref, acc_ref, *, t_tile, h
     # time-validity mask for this tile
     t0 = ti * t_tile
     tids = jax.lax.broadcasted_iota(jnp.int32, (t_tile, heads), 0) + t0
-    valid = tids < len_ref[0]
+    valid = tids < len_ref[bi]
     scores = jnp.where(valid, scores, NEG_BIG)
 
     # online softmax update
@@ -90,7 +91,9 @@ def _mha_pool_fused_fwd_impl(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1,), lambda bi, ti: (bi,), memory_space=pltpu.SMEM),
+                # whole lengths vector in SMEM (rank-1 blocks must cover the
+                # array on TPU); the kernel indexes it by program_id(0)
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (1, t_tile, heads, d_h),
                     lambda bi, ti: (bi, ti, 0, 0),

@@ -67,15 +67,24 @@ class Trainer:
         # AM-Softmax W (+ its optimizer moments) over 'model'; the same jitted
         # step runs either way (XLA GSPMD inserts the collectives).
         self.mesh = None
-        if len(jax.devices()) > 1:
-            from ..parallel.mesh import batch_shardings, make_mesh, shard_train_state
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            data_size = n_dev // max(1, cfg.mesh.model_axis)
+            if cfg.train.batch_size % max(1, data_size) == 0:
+                from ..parallel.mesh import batch_shardings, make_mesh, shard_train_state
 
-            self.mesh = make_mesh(cfg.mesh)
-            self.state = shard_train_state(self.state, self.mesh)
-            self._batch_shardings = batch_shardings(
-                {"inputs": None, "waves": None, "lengths": None, "labels": None},
-                self.mesh,
-            )
+                self.mesh = make_mesh(cfg.mesh)
+                self.state = shard_train_state(self.state, self.mesh)
+                self._batch_shardings = batch_shardings(
+                    {"inputs": None, "waves": None, "lengths": None, "labels": None},
+                    self.mesh,
+                )
+            else:
+                self.log.log(
+                    "mesh_disabled",
+                    reason=f"batch_size {cfg.train.batch_size} not divisible by "
+                    f"data axis {data_size}; running single-device",
+                )
 
         self._load_data()
 
@@ -121,11 +130,19 @@ class Trainer:
     def validate(self) -> Dict[str, float]:
         cfg = self.cfg
         t0 = time.time()
+        if cfg.data.source == "wav":
+            from ..evaluation.embeddings import wav_feature_loader
+
+            loader = wav_feature_loader(
+                cfg.data.valid_data_dir, cfg.features, cfg.train.normalization
+            )
+        else:
+            loader = pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization)
         extractor = EmbeddingExtractor(
             self.state.params,
             self.state.model_state,
             cfg.model,
-            pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization),
+            loader,
             embed_fn=self._embed_jit,
         )
         clients = load_trials(cfg.data.valid_clients)

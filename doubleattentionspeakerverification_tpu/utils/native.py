@@ -77,14 +77,21 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+_tls = threading.local()
+
+
 def native_read_wav(path: str, max_seconds: float = 600.0, sample_rate_hint: int = 16000):
     """Decode one wav to mono float32; returns np.ndarray. Raises on failure.
     Signature matches what ``data.dataset.WavSource`` expects."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    max_samples = int(max_seconds * sample_rate_hint * 4)
-    buf = np.empty((max_samples,), np.float32)
+    max_samples = int(max_seconds * sample_rate_hint)
+    # reuse a thread-local scratch buffer instead of a fresh ~40 MB per call
+    buf = getattr(_tls, "buf", None)
+    if buf is None or buf.shape[0] < max_samples:
+        buf = np.empty((max_samples,), np.float32)
+        _tls.buf = buf
     sr = ctypes.c_int(0)
     n = lib.wav_read(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

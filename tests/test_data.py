@@ -142,3 +142,22 @@ def test_train_loader_wav_mode(tmp_path):
     assert b["lengths"].max() <= source.window_samples
     assert b["lengths"].min() > 0
     assert np.isfinite(b["waves"]).all()
+
+
+def test_random_slicing_buckets(tmp_path):
+    root = str(tmp_path / "feats")
+    lines = make_synthetic_features(root, t_range=(120, 160))
+    manifest = parse_train_manifest(lines)
+    tcfg = TrainConfig(
+        window_size=3.5, batch_size=3, gradient_accumulation=2, random_slicing=True
+    )
+    source = FeaturePickleSource(root, "cmn", 350)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), feature_dim=80)
+    shapes = set()
+    for e in range(3):
+        for b in loader.epoch(e):
+            t = b["inputs"].shape[2]
+            assert 200 <= t <= 350 and t % 50 == 0  # snapped to the bucket grid
+            assert b["lengths"].max() <= t
+            shapes.add(t)
+    assert len(shapes) >= 2  # actually varies

@@ -232,3 +232,42 @@ def test_train_step_wav_mode(tmp_path):
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_trainer_wav_mode_end_to_end(tmp_path):
+    """Full trainer in wav mode: native/python decode, on-device log-mel,
+    wav-based EER validation."""
+    import dataclasses
+
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    sr = 16000
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for spk in range(3):
+        for i in range(4):
+            t = np.arange(int((0.8 + 0.2 * i) * sr)) / sr
+            y = 0.25 * np.sin(2 * np.pi * (180 + 90 * spk) * t)
+            y += 0.01 * rng.standard_normal(len(t))
+            write_wav(str(wav_dir / f"s{spk}_{i}.wav"), y, sr)
+            lines.append(f"s{spk}_{i} {spk} -1\n")
+    (tmp_path / "labels.ndx").write_text("".join(lines))
+    (tmp_path / "clients.ndx").write_text("s0_0 s0_1\ns1_0 s1_1\n")
+    (tmp_path / "impostors.ndx").write_text("s0_0 s1_0\ns0_1 s2_1\n")
+
+    cfg = _tiny_cfg(tmp_path, n_spk=3, window_size=0.6, batch_size=3,
+                    gradient_accumulation=2, validate_every=2, max_epochs=2)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data,
+            train_data_dir=str(wav_dir), valid_data_dir=str(wav_dir),
+            source="wav",
+        ),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    assert int(tr.state.step) >= 2
+    result = tr.validate()
+    assert 0.0 <= result["eer"] <= 50.0
