@@ -31,11 +31,11 @@ from ..evaluation.embeddings import (
 )
 from ..models.classifier import get_embedding, init_speaker_classifier
 from ..utils.checkpoint import (
+    AsyncCheckpointer,
     checkpoint_path,
     latest_checkpoint,
     load_checkpoint,
     prune_checkpoints,
-    save_checkpoint,
 )
 from ..utils.logging import MetricLogger
 from .optimizers import get_lr, with_lr
@@ -93,6 +93,7 @@ class Trainer:
         self.starting_epoch = 0
         self.epoch = 0
         self.best_ckpt_path: Optional[str] = None
+        self._checkpointer = AsyncCheckpointer()
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
 
@@ -166,6 +167,9 @@ class Trainer:
             self.best_eer = eer
             self.stopping = 0
             self.best_ckpt_path = self._save("best")
+            # best checkpoints are rare and load-bearing (requeue target):
+            # block until the write lands; periodic saves stay async
+            self._checkpointer.wait()
             self.log.log("new_best", eer=eer, path=self.best_ckpt_path)
         else:
             self.stopping += 1
@@ -191,7 +195,7 @@ class Trainer:
             path = os.path.join(self.cfg.out_dir, f"{self.model_name}_best_{step}.npz")
         else:
             path = checkpoint_path(self.cfg.out_dir, self.model_name, step)
-        save_checkpoint(path, self.state, self._meta())
+        self._checkpointer.save(path, self.state, self._meta())
         if kind != "best" and self.cfg.train.keep_checkpoints > 0:
             prune_checkpoints(
                 self.cfg.out_dir, self.model_name, self.cfg.train.keep_checkpoints,
@@ -272,4 +276,5 @@ class Trainer:
                 self.log.log("early_stop", best_eer=self.best_eer)
                 break
             self._halve_lr_if_stagnant()
+        self._checkpointer.wait()
         self.log.log("finished", best_eer=self.best_eer)

@@ -58,6 +58,47 @@ def save_checkpoint(path: str, tree: Any, meta: Dict[str, Any]) -> str:
     return path
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    ``save`` snapshots the pytree to host memory synchronously (device
+    buffers may be donated by the next step) and hands serialization + disk
+    IO to a single background worker. A newer save to the SAME path
+    supersedes a queued one; saves to distinct paths (best vs periodic) all
+    land. ``wait`` drains outstanding writes (call before exit)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._thread: "threading.Thread | None" = None
+        self._pending: Dict[str, Tuple[Any, Dict[str, Any]]] = {}
+
+    def save(self, path: str, tree: Any, meta: Dict[str, Any]) -> str:
+        import threading
+
+        host_tree = jax.tree.map(np.asarray, tree)  # sync device->host copy
+        with self._lock:
+            self._pending[path] = (host_tree, meta)
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._drain, daemon=True)
+                self._thread.start()
+        return path
+
+    def _drain(self) -> None:
+        while True:
+            with self._lock:
+                if not self._pending:
+                    return
+                path, (tree, meta) = self._pending.popitem()
+            save_checkpoint(path, tree, meta)
+
+    def wait(self, timeout: float = 120.0) -> None:
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+
+
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
     """Restore a pytree with the structure of ``template`` plus the meta."""
     with np.load(path) as z:

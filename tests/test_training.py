@@ -271,3 +271,24 @@ def test_trainer_wav_mode_end_to_end(tmp_path):
     assert int(tr.state.step) >= 2
     result = tr.validate()
     assert 0.0 <= result["eer"] <= 50.0
+
+
+def test_async_checkpointer(tmp_path):
+    import numpy as np
+
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        load_checkpoint,
+    )
+
+    ck = AsyncCheckpointer()
+    tree = {"a": np.arange(5, dtype=np.float32), "b": {"c": np.ones((2, 2))}}
+    p1 = str(tmp_path / "x_1.npz")
+    p2 = str(tmp_path / "x_2.npz")
+    ck.save(p1, tree, {"step": 1})
+    ck.save(p2, tree, {"step": 2})
+    ck.wait()
+    for p, s in ((p1, 1), (p2, 2)):
+        restored, meta = load_checkpoint(p, tree)
+        assert meta["step"] == s
+        np.testing.assert_array_equal(restored["a"], tree["a"])
