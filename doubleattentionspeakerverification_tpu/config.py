@@ -67,6 +67,10 @@ class ModelConfig:
     # pass over the encoder output instead of three. Alignments are not
     # produced on this path (they are introspection-only).
     use_pallas_pooling: bool = False
+    # Rematerialize each VGG block in the backward pass (jax.checkpoint):
+    # trades ~1/3 more conv FLOPs for O(blocks) less activation memory —
+    # for very large per-chip batches.
+    remat_vgg: bool = False
     # Parity toggle: reference scales MHA scores by sqrt(heads_number)
     # because of the d_k=query.size(-1)==heads quirk (scripts/poolings.py:75-76).
     # True  -> divide by sqrt(heads_number)  (reference behavior)
@@ -105,6 +109,10 @@ class TrainConfig:
     # we additionally save every `checkpoint_every` steps (0 = off).
     checkpoint_every: int = 0
     keep_checkpoints: int = 3
+    # Static promise that every training window is full-length (all files
+    # >= window_size seconds): drops the masking ops from the compiled step
+    # (~3.5% faster). The loader verifies the promise per batch.
+    assume_full_lengths: bool = False
 
 
 @dataclass(frozen=True)

@@ -179,6 +179,13 @@ class TrainLoader:
                 inputs[i, :n] = win
                 lengths[i] = n
 
+        if self.cfg.assume_full_lengths and int(lengths.min()) < t_dim:
+            short = [u.path for u, n in zip(utts, lengths) if n < t_dim][:3]
+            raise ValueError(
+                "assume_full_lengths is set but these utterances are shorter "
+                f"than the {t_dim}-unit window: {short} ..."
+            )
+
         if self.cfg.random_slicing and not self.is_wave:
             # Reference truncates each batch to a random length in
             # [200, window) (train.py:205-207). Snap up to a multiple of 50
@@ -215,7 +222,9 @@ class TrainLoader:
                     idx = order[s * per_step : (s + 1) * per_step]
                     utts = [self.manifest[i] for i in idx]
                     q.put(self._assemble(utts, rng))
-            finally:
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+            else:
                 q.put(None)
 
         th = threading.Thread(target=producer, daemon=True)
@@ -225,6 +234,8 @@ class TrainLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -120,12 +120,19 @@ def vgg_apply(
     n_blocks = 3 if cfg.front_end == "VGG3L" else 4
     h = mask_time(x, lengths)[..., None]  # (B, T, F, 1)
     cur_len = lengths
+
+    def block(h, p1, p2, blk_len):
+        h = jax.nn.relu(_conv3x3(h, p1, compute_dtype))
+        h = mask_time(h, blk_len)
+        h = jax.nn.relu(_conv3x3(h, p2, compute_dtype))
+        h = mask_time(h, blk_len)
+        return _ceil_maxpool2(h)
+
+    if cfg.remat_vgg:
+        block = jax.checkpoint(block, static_argnums=())
+
     for i in range(n_blocks):
-        h = jax.nn.relu(_conv3x3(h, params[f"conv{i + 1}1"], compute_dtype))
-        h = mask_time(h, cur_len)
-        h = jax.nn.relu(_conv3x3(h, params[f"conv{i + 1}2"], compute_dtype))
-        h = mask_time(h, cur_len)
-        h = _ceil_maxpool2(h)
+        h = block(h, params[f"conv{i + 1}1"], params[f"conv{i + 1}2"], cur_len)
         if cur_len is not None:
             cur_len = -(-cur_len // 2)
     # NHWC (B, T', F', C) -> reference channel-major flatten (B, T', C*F')

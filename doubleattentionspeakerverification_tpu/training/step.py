@@ -43,13 +43,16 @@ def init_train_state(params, model_state: ModelState, cfg: ExperimentConfig) -> 
 
 
 def _prepare_inputs(batch: Dict[str, jnp.ndarray], cfg: ExperimentConfig):
-    """Returns (features (G,B,T,F), frame_lengths (G,B)) for either source."""
+    """Returns (features (G,B,T,F), frame_lengths (G,B) or None)."""
+    full = cfg.train.assume_full_lengths
     if "waves" in batch:
         feats = log_mel_spectrogram(batch["waves"], cfg.features)
+        if full:
+            return normalize_features(feats, cfg.train.normalization), None
         lens = frames_for_samples(batch["lengths"], cfg.features)
         feats = normalize_features(feats, cfg.train.normalization, lengths=lens)
         return feats, lens
-    return batch["inputs"], batch["lengths"]
+    return batch["inputs"], (None if full else batch["lengths"])
 
 
 def make_train_step(cfg: ExperimentConfig, donate: bool = True):
@@ -111,7 +114,7 @@ def make_eval_loss_step(cfg: ExperimentConfig):
     def eval_step(params, model_state, batch):
         feats, lens = _prepare_inputs(batch, cfg)
         f = feats.reshape((-1,) + feats.shape[2:])
-        l = lens.reshape(-1)
+        l = None if lens is None else lens.reshape(-1)
         y = batch["labels"].reshape(-1)
         costh, logits, _ = speaker_classifier_apply(
             params, model_state, f, y, 0, mcfg, lengths=l, train=False

@@ -292,3 +292,53 @@ def test_async_checkpointer(tmp_path):
         restored, meta = load_checkpoint(p, tree)
         assert meta["step"] == s
         np.testing.assert_array_equal(restored["a"], tree["a"])
+
+
+def test_assume_full_and_remat_match_baseline(tmp_path):
+    """assume_full_lengths (mask-free fast path) and remat_vgg must not
+    change the math when all windows are full."""
+    import dataclasses
+
+    base = _tiny_cfg(tmp_path)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 80, 80)).astype(np.float32)
+    batch = {
+        "inputs": x,
+        "lengths": np.full((2, 4), 80, np.int32),
+        "labels": np.tile(np.arange(4, dtype=np.int32), (2, 1)),
+    }
+
+    results = {}
+    for name, cfg in {
+        "base": base,
+        "full": dataclasses.replace(base, train=dataclasses.replace(base.train, assume_full_lengths=True)),
+        "remat": dataclasses.replace(base, model=dataclasses.replace(base.model, remat_vgg=True)),
+    }.items():
+        params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+        state = init_train_state(params, ms, cfg)
+        step_fn = make_train_step(cfg, donate=False)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+        results[name] = (float(metrics["loss"]), np.asarray(state.params["fc1"]["w"]))
+
+    for name in ("full", "remat"):
+        assert results[name][0] == pytest.approx(results["base"][0], rel=1e-6), name
+        np.testing.assert_allclose(results[name][1], results["base"][1], atol=1e-6)
+
+
+def test_assume_full_loader_rejects_short(tmp_path):
+    from doubleattentionspeakerverification_tpu.data.dataset import (
+        FeaturePickleSource,
+        TrainLoader,
+    )
+    from doubleattentionspeakerverification_tpu.data.manifest import parse_train_manifest
+    from test_data import make_synthetic_features
+
+    root = str(tmp_path / "feats")
+    lines = make_synthetic_features(root, t_range=(60, 120))
+    manifest = parse_train_manifest(lines)
+    tcfg = TrainConfig(window_size=1.0, batch_size=4, gradient_accumulation=1,
+                       assume_full_lengths=True)  # 100-frame window, files 60-120
+    source = FeaturePickleSource(root, "cmn", 100)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), feature_dim=80)
+    with pytest.raises(ValueError, match="assume_full_lengths"):
+        list(loader.epoch(0))
