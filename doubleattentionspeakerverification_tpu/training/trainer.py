@@ -239,6 +239,13 @@ class Trainer:
         self._print_t0 = time.time()
         window_loss, window_acc, window_n = 0.0, 0.0, 0
 
+        from ..utils.watchdog import Watchdog
+
+        watchdog = Watchdog(
+            timeout_s=600.0,
+            on_stall=lambda age, step: self.log.log("stall", age_s=age, last_step=step),
+        ).start()
+
         self.log.log("start_training", model=self.model_name,
                      steps_per_epoch=self.loader.steps_per_epoch())
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
@@ -253,6 +260,7 @@ class Trainer:
                 window_acc += float(metrics["accuracy"])
                 window_n += 1
                 step = int(self.state.step)
+                watchdog.beat(step)
 
                 if step % cfg.train.print_every == 0:
                     self.log.log(
@@ -276,5 +284,6 @@ class Trainer:
                 self.log.log("early_stop", best_eer=self.best_eer)
                 break
             self._halve_lr_if_stagnant()
+        watchdog.stop()
         self._checkpointer.wait()
         self.log.log("finished", best_eer=self.best_eer)

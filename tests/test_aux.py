@@ -81,3 +81,25 @@ def test_metric_logger_jsonl(tmp_path):
     log.close()
     rec = json.loads(open(p).read().strip())
     assert rec["event"] == "train" and rec["loss"] == 1.25
+
+
+def test_watchdog_detects_stall():
+    import time
+
+    from doubleattentionspeakerverification_tpu.utils.watchdog import Watchdog
+
+    events = []
+    wd = Watchdog(timeout_s=0.2, poll_s=0.05,
+                  on_stall=lambda age, step: events.append((age, step)))
+    with wd:
+        wd.beat(1)
+        time.sleep(0.5)  # no beats -> stall fires
+    assert wd.stall_count >= 1
+    assert events and events[0][1] == 1
+
+    wd2 = Watchdog(timeout_s=5.0, poll_s=0.05)
+    with wd2:
+        for s in range(3):
+            wd2.beat(s)
+            time.sleep(0.05)
+    assert wd2.stall_count == 0

@@ -125,3 +125,59 @@ def test_reference_chkpt_import_roundtrip(tmp_path):
     with torch.no_grad():
         ref = net.getEmbedding(torch.tensor(x)).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_reference_script_shims(tmp_path):
+    """`python scripts/train.py` etc. must accept the reference's exact flag
+    set (incl. the dead --data_mode / --modelConfig flags)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "wavs")
+    paths, labels = _make_wavs(root, n_speakers=2, per_speaker=3, seconds=0.8)
+    lst = tmp_path / "files.lst"
+    lst.write_text("".join(p + "\n" for p in paths))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    r = subprocess.run(
+        [sys.executable, "scripts/featureExtractor.py", "-i", str(lst)],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(paths[0][:-4] + ".pickle")
+
+    rel = [os.path.relpath(p, root)[:-4] for p in paths]
+    (tmp_path / "labels.ndx").write_text(
+        "".join(f"{r_} {l} -1\n" for r_, l in zip(rel, labels))
+    )
+    (tmp_path / "clients.ndx").write_text(f"{rel[0]} {rel[1]}\n")
+    (tmp_path / "impostors.ndx").write_text(f"{rel[0]} {rel[-1]}\n")
+    out_dir = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "scripts/train.py",
+         "--train_data_dir", root, "--valid_data_dir", root,
+         "--train_labels_path", str(tmp_path / "labels.ndx"),
+         "--valid_clients", str(tmp_path / "clients.ndx"),
+         "--valid_impostors", str(tmp_path / "impostors.ndx"),
+         "--out_dir", out_dir,
+         "--data_mode", "normal",            # dead reference flag
+         "--kernel_size", "16", "--heads_number", "4", "--embedding_size", "24",
+         "--window_size", "0.5", "--batch_size", "2", "--gradientAccumulation", "1",
+         "--max_epochs", "1", "--validate_every", "0", "--print_every", "1",
+         "--checkpoint_every", "1"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert ckpts
+
+    r = subprocess.run(
+        [sys.executable, "scripts/getEmbeddingExample.py",
+         "--audioPath", paths[0],
+         "--modelConfig", "ignored.pkl",     # reference flag, discarded there too
+         "--modelCheckpoint", os.path.join(out_dir, sorted(ckpts)[-1]),
+         "--device", "cpu"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[" in r.stdout
