@@ -36,15 +36,28 @@ def pickle_feature_loader(data_dir: str, normalization: str = "cmn") -> Callable
     return load
 
 
-def wav_feature_loader(data_dir: str, feat_cfg=None, normalization: str = "cmn") -> Callable:
+def wav_feature_loader(
+    data_dir: str,
+    feat_cfg=None,
+    normalization: str = "cmn",
+    bucket_seconds: float = 2.0,
+) -> Callable:
     """Loader for raw-wav validation sets: decode, log-mel on device, CMN —
     the ``getEmbeddingExample`` inference combination (CMN regardless of the
-    training normalization is the reference's quirk; here it's an argument)."""
+    training normalization is the reference's quirk; here it's an argument).
+
+    Waveforms are zero-padded up to a ``bucket_seconds`` grid so the jitted
+    DSP compiles once per bucket instead of once per utterance length; the
+    padded tail frames are sliced off before normalization.
+    """
+    import jax
+
     from ..config import FeatureConfig
     from ..data.wav import read_wav
-    from ..dsp.features import extract_normalized
+    from ..dsp.features import log_mel_spectrogram, num_frames
 
     feat_cfg = feat_cfg or FeatureConfig()
+    jit_cache = {}
 
     def load(utt_id: str) -> np.ndarray:
         path = f"{data_dir}/{utt_id}"
@@ -52,7 +65,21 @@ def wav_feature_loader(data_dir: str, feat_cfg=None, normalization: str = "cmn")
             path += ".wav"
         wave, sr = read_wav(path)
         cfg = feat_cfg if sr == feat_cfg.sample_rate else FeatureConfig(sample_rate=sr)
-        return np.asarray(extract_normalized(wave.astype(np.float32), cfg, normalization))
+        n = wave.shape[0]
+        bucket = int(bucket_seconds * cfg.sample_rate)
+        padded_n = max(cfg.n_fft, -(-n // bucket) * bucket)
+        padded = np.zeros((padded_n,), np.float32)
+        padded[:n] = wave
+        if cfg not in jit_cache:
+            jit_cache[cfg] = jax.jit(lambda w, c=cfg: log_mel_spectrogram(w, c))
+        feats = np.asarray(jit_cache[cfg](padded))[: num_frames(n, cfg)]
+        mean = feats.mean(axis=0)
+        feats = feats - mean
+        if normalization == "cmvn":
+            std = (feats + mean).std(axis=0)
+            std = np.where(std > 0.01, std, 1.0)
+            feats = feats / std
+        return feats
 
     return load
 

@@ -263,13 +263,16 @@ class Trainer:
                 watchdog.beat(step)
 
                 if step % cfg.train.print_every == 0:
+                    elapsed = time.time() - self._print_t0
+                    samples = window_n * cfg.train.batch_size * cfg.train.gradient_accumulation
                     self.log.log(
                         "train",
                         epoch=self.epoch,
                         step=step,
                         xent=window_loss / max(1, window_n),
                         accuracy=100.0 * window_acc / max(1, window_n),
-                        elapsed_min=(time.time() - self._print_t0) / 60,
+                        audio_s_per_s=samples * cfg.train.window_size / max(1e-9, elapsed),
+                        elapsed_min=elapsed / 60,
                     )
                     window_loss, window_acc, window_n = 0.0, 0.0, 0
                     self._print_t0 = time.time()
