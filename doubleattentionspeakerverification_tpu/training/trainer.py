@@ -248,21 +248,30 @@ class Trainer:
 
         self.log.log("start_training", model=self.model_name,
                      steps_per_epoch=self.loader.steps_per_epoch())
+        import jax.numpy as jnp
+
+        # metrics stay on device between prints: fetching a scalar per step
+        # would force a host sync every step (expensive on relayed backends)
+        # and serialize dispatch, killing transfer/compute overlap
+        metric_buf = []
+        step = int(self.state.step)
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             for batch in self.loader.epoch(self.epoch):
                 if self.mesh is not None:
                     batch = jax.device_put(
                         batch, {k: self._batch_shardings[k] for k in batch}
                     )
-                step_rng = jax.random.fold_in(rng0, int(self.state.step))
+                step_rng = jax.random.fold_in(rng0, step)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
-                window_loss += float(metrics["loss"])
-                window_acc += float(metrics["accuracy"])
-                window_n += 1
-                step = int(self.state.step)
+                metric_buf.append((metrics["loss"], metrics["accuracy"]))
+                step += 1
                 watchdog.beat(step)
 
                 if step % cfg.train.print_every == 0:
+                    vals = np.asarray(jnp.stack([jnp.stack(m) for m in metric_buf]))
+                    window_loss, window_acc = vals[:, 0].sum(), vals[:, 1].sum()
+                    window_n = len(metric_buf)
+                    metric_buf = []
                     elapsed = time.time() - self._print_t0
                     samples = window_n * cfg.train.batch_size * cfg.train.gradient_accumulation
                     self.log.log(
@@ -274,7 +283,6 @@ class Trainer:
                         audio_s_per_s=samples * cfg.train.window_size / max(1e-9, elapsed),
                         elapsed_min=elapsed / 60,
                     )
-                    window_loss, window_acc, window_n = 0.0, 0.0, 0
                     self._print_t0 = time.time()
 
                 if cfg.train.validate_every and step % cfg.train.validate_every == 0:
