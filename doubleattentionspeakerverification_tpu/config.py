@@ -113,6 +113,15 @@ class TrainConfig:
     # >= window_size seconds): drops the masking ops from the compiled step
     # (~3.5% faster). The loader verifies the promise per batch.
     assume_full_lengths: bool = False
+    # Host->device batch payload dtype. 'float32' (default, exact);
+    # 'bfloat16' halves feature-batch transfer volume (features feed bf16
+    # convs anyway); in wav mode 'int16' ships the original PCM samples
+    # losslessly at half width. Matters when the host link is the
+    # bottleneck; upcast happens on device.
+    transfer_dtype: str = "float32"
+    # Batches prefetched onto the device ahead of compute (overlaps the
+    # host->device copy with the previous step). 0 disables.
+    device_prefetch: int = 2
 
 
 @dataclass(frozen=True)

@@ -196,6 +196,15 @@ class TrainLoader:
             lengths = np.minimum(lengths, cut)
 
         key = "waves" if self.is_wave else "inputs"
+        if self.cfg.transfer_dtype != "float32":
+            if self.is_wave and self.cfg.transfer_dtype == "int16":
+                # ship the original PCM16 samples losslessly at half width;
+                # the device divides by 32768 again (dsp re-multiplies)
+                inputs = np.clip(inputs * 32768.0, -32768, 32767).astype(np.int16)
+            elif self.cfg.transfer_dtype == "bfloat16":
+                import ml_dtypes
+
+                inputs = inputs.astype(ml_dtypes.bfloat16)
         return {
             key: inputs.reshape((g, b) + inputs.shape[1:]),
             "lengths": lengths.reshape(g, b),

@@ -46,13 +46,17 @@ def _prepare_inputs(batch: Dict[str, jnp.ndarray], cfg: ExperimentConfig):
     """Returns (features (G,B,T,F), frame_lengths (G,B) or None)."""
     full = cfg.train.assume_full_lengths
     if "waves" in batch:
-        feats = log_mel_spectrogram(batch["waves"], cfg.features)
+        waves = batch["waves"]
+        if waves.dtype == jnp.int16:  # PCM transfer: undo the host-side scale
+            waves = waves.astype(jnp.float32) / 32768.0
+        feats = log_mel_spectrogram(waves, cfg.features)
         if full:
             return normalize_features(feats, cfg.train.normalization), None
         lens = frames_for_samples(batch["lengths"], cfg.features)
         feats = normalize_features(feats, cfg.train.normalization, lengths=lens)
         return feats, lens
-    return batch["inputs"], (None if full else batch["lengths"])
+    inputs = batch["inputs"].astype(jnp.float32)  # upcast bf16 transfers
+    return inputs, (None if full else batch["lengths"])
 
 
 def make_train_step(cfg: ExperimentConfig, donate: bool = True):

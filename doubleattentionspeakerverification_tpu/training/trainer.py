@@ -255,12 +255,15 @@ class Trainer:
         # and serialize dispatch, killing transfer/compute overlap
         metric_buf = []
         step = int(self.state.step)
+        from .device_prefetch import device_prefetch
+
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
-            for batch in self.loader.epoch(self.epoch):
-                if self.mesh is not None:
-                    batch = jax.device_put(
-                        batch, {k: self._batch_shardings[k] for k in batch}
-                    )
+            batches = device_prefetch(
+                self.loader.epoch(self.epoch),
+                depth=cfg.train.device_prefetch,
+                shardings=self._batch_shardings if self.mesh is not None else None,
+            )
+            for batch in batches:
                 step_rng = jax.random.fold_in(rng0, step)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 metric_buf.append((metrics["loss"], metrics["accuracy"]))

@@ -342,3 +342,72 @@ def test_assume_full_loader_rejects_short(tmp_path):
     loader = TrainLoader(manifest, source, tcfg, DataConfig(), feature_dim=80)
     with pytest.raises(ValueError, match="assume_full_lengths"):
         list(loader.epoch(0))
+
+
+def test_transfer_dtype_bf16_close_to_f32(tmp_path):
+    """bf16 feature transfer must change the loss only at bf16 noise level."""
+    import dataclasses
+
+    cfg = _tiny_cfg(tmp_path)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    x32 = rng.standard_normal((2, 4, 80, 80)).astype(np.float32)
+    batch32 = {"inputs": x32, "lengths": np.full((2, 4), 80, np.int32),
+               "labels": np.tile(np.arange(4, dtype=np.int32), (2, 1))}
+    import ml_dtypes
+    batch16 = dict(batch32, inputs=x32.astype(ml_dtypes.bfloat16))
+
+    step_fn = make_train_step(cfg, donate=False)
+    state = init_train_state(params, ms, cfg)
+    _, m32 = step_fn(state, batch32, jax.random.PRNGKey(1))
+    state = init_train_state(params, ms, cfg)
+    _, m16 = step_fn(state, batch16, jax.random.PRNGKey(1))
+    assert abs(float(m32["loss"]) - float(m16["loss"])) < 0.05
+
+
+def test_wave_int16_transfer_matches_float(tmp_path):
+    from doubleattentionspeakerverification_tpu.dsp.features import num_samples_for_frames
+
+    cfg = _tiny_cfg(tmp_path)
+    n = num_samples_for_frames(60, cfg.features)
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-2000, 2000, (2, 4, n)).astype(np.int16)
+    waves_f = pcm.astype(np.float32) / 32768.0
+    lens = np.full((2, 4), n, np.int32)
+    labels = np.tile(np.arange(4, dtype=np.int32), (2, 1))
+
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    step_fn = make_train_step(cfg, donate=False)
+    s1 = init_train_state(params, ms, cfg)
+    _, mf = step_fn(s1, {"waves": waves_f, "lengths": lens, "labels": labels},
+                    jax.random.PRNGKey(1))
+    s2 = init_train_state(params, ms, cfg)
+    _, mi = step_fn(s2, {"waves": pcm, "lengths": lens, "labels": labels},
+                    jax.random.PRNGKey(1))
+    # int16 round-trip of PCM data is exact
+    assert float(mf["loss"]) == pytest.approx(float(mi["loss"]), rel=1e-5)
+
+
+def test_device_prefetch_iterator():
+    from doubleattentionspeakerverification_tpu.training.device_prefetch import (
+        device_prefetch,
+    )
+
+    batches = [{"inputs": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["inputs"]), batches[i]["inputs"])
+    # early exit doesn't deadlock
+    gen = device_prefetch(iter(batches), depth=2)
+    next(gen)
+    gen.close()
+    # exception propagation
+    def bad():
+        yield {"inputs": np.zeros(2)}
+        raise RuntimeError("boom")
+    g = device_prefetch(bad(), depth=1)
+    next(g)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        next(g)
