@@ -1,0 +1,89 @@
+"""High-level inference API.
+
+The reference's inference surface is a script (``getEmbeddingExample.py``);
+this is the library-first equivalent: load once, embed/score many.
+
+    from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+
+    model = SpeakerEmbeddingModel.from_checkpoint("run1/..._best_1234.npz")
+    emb = model.embed_wav("a.wav")
+    sim = model.score_wavs("a.wav", "b.wav")   # cosine in [-1, 1]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .config import ExperimentConfig
+from .data.wav import read_wav
+from .dsp.features import extract_normalized
+from .evaluation.eer import cosine_scores
+
+
+class SpeakerEmbeddingModel:
+    def __init__(self, params, model_state, cfg: ExperimentConfig,
+                 normalization: str = "cmn"):
+        import jax
+
+        from .models.classifier import get_embedding
+
+        self.params = params
+        self.model_state = model_state
+        self.cfg = cfg
+        self.normalization = normalization
+        self._embed = jax.jit(partial(get_embedding, cfg=cfg.model))
+
+    # ------------------------------------------------------------- loaders
+    @classmethod
+    def from_checkpoint(cls, path: str, normalization: str = "cmn") -> "SpeakerEmbeddingModel":
+        """Load ours (.npz) or a reference torch .chkpt."""
+        from .cli.get_embedding import load_model
+
+        params, state, cfg = load_model(path)
+        return cls(params, state, cfg, normalization)
+
+    @classmethod
+    def from_random_init(cls, cfg: ExperimentConfig, seed: int = 0) -> "SpeakerEmbeddingModel":
+        import jax
+
+        from .models.classifier import init_speaker_classifier
+
+        params, state = init_speaker_classifier(jax.random.PRNGKey(seed), cfg.model)
+        return cls(params, state, cfg)
+
+    # ------------------------------------------------------------- embed
+    def embed_features(self, features: np.ndarray,
+                       lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        """(T, F) or (B, T, F) normalized log-mel -> (emb,) or (B, emb)."""
+        single = features.ndim == 2
+        x = features[None] if single else features
+        emb = np.asarray(self._embed(self.params, self.model_state, x, lengths))
+        return emb[0] if single else emb
+
+    def embed_wave(self, wave: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+        cfg = self.cfg.features
+        if sample_rate != cfg.sample_rate:
+            from .config import FeatureConfig
+
+            cfg = FeatureConfig(sample_rate=sample_rate)
+        feats = np.asarray(
+            extract_normalized(wave.astype(np.float32), cfg, self.normalization)
+        )
+        return self.embed_features(feats)
+
+    def embed_wav(self, path: str) -> np.ndarray:
+        wave, sr = read_wav(path)
+        return self.embed_wave(wave, sr)
+
+    # ------------------------------------------------------------- scoring
+    def score(self, emb1: np.ndarray, emb2: np.ndarray) -> float:
+        return float(cosine_scores(emb1[None], emb2[None])[0])
+
+    def score_wavs(self, path1: str, path2: str) -> float:
+        return self.score(self.embed_wav(path1), self.embed_wav(path2))
+
+    def verify(self, path1: str, path2: str, threshold: float = 0.5) -> bool:
+        return self.score_wavs(path1, path2) >= threshold

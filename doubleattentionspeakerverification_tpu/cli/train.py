@@ -57,6 +57,8 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             validate_every=params.validate_every,
             checkpoint_every=params.checkpoint_every,
             seed=params.seed,
+            transfer_dtype=params.transfer_dtype,
+            assume_full_lengths=params.assume_full_lengths,
         ),
         data=DataConfig(
             train_data_dir=params.train_data_dir,
@@ -118,6 +120,13 @@ def make_parser() -> argparse.ArgumentParser:
                         help="shards of the AM-Softmax classifier over the mesh 'model' axis")
     parser.add_argument("--checkpoint_every", type=int, default=0)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--transfer_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16", "int16"],
+                        help="host->device batch payload dtype (bfloat16 for "
+                             "features / int16 for wavs halves transfer bytes)")
+    parser.add_argument("--assume_full_lengths", action="store_true",
+                        help="all training windows are full-length: drop masking "
+                             "from the compiled step (~3%% faster)")
     return parser
 
 

@@ -119,9 +119,11 @@ class TrainConfig:
     # losslessly at half width. Matters when the host link is the
     # bottleneck; upcast happens on device.
     transfer_dtype: str = "float32"
-    # Batches prefetched onto the device ahead of compute (overlaps the
-    # host->device copy with the previous step). 0 disables.
-    device_prefetch: int = 2
+    # Batches prefetched onto the device via a background thread. On normal
+    # backends device_put is already async (overlap is free) and the thread
+    # only adds GIL contention, so default off; set >0 on backends whose
+    # device_put blocks AND where spare host cores exist.
+    device_prefetch: int = 0
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,30 @@ def eer_exact(client_scores: Sequence[float], impostor_scores: Sequence[float]) 
     return float((far_x + frr_x) / 2)
 
 
+def min_dcf(
+    client_scores: Sequence[float],
+    impostor_scores: Sequence[float],
+    p_target: float = 0.01,
+    c_miss: float = 1.0,
+    c_fa: float = 1.0,
+) -> float:
+    """Minimum normalized detection cost (NIST SRE convention; the standard
+    companion metric to EER in speaker verification, not present in the
+    reference). Sweeps all distinct score thresholds."""
+    clients = np.asarray(client_scores, dtype=np.float64)
+    impostors = np.asarray(impostor_scores, dtype=np.float64)
+    scores = np.concatenate([clients, impostors])
+    # include a reject-everything endpoint so minDCF is bounded by 1.0
+    thresholds = np.unique(np.concatenate([scores, [scores.max() + 1.0]]))
+    far, _ = far_frr(impostors, thresholds)
+    _, frr = far_frr(clients, thresholds)
+    p_miss = frr / 100.0
+    p_fa = far / 100.0
+    dcf = c_miss * p_miss * p_target + c_fa * p_fa * (1.0 - p_target)
+    dcf_norm = dcf / min(c_miss * p_target, c_fa * (1.0 - p_target))
+    return float(np.min(dcf_norm))
+
+
 def cosine_scores(emb1: np.ndarray, emb2: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     """Batched cosine similarity, torch ``F.cosine_similarity`` semantics
     (``utils.py:18-21``): denominators clamped at eps per vector."""

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..data.dataset import normalize_np
 from ..models.classifier import ModelState, get_embedding
-from .eer import cosine_scores, eer_exact, eer_reference
+from .eer import cosine_scores, eer_exact, eer_reference, min_dcf
 
 DEFAULT_BUCKETS = (200, 350, 500, 750, 1000, 1500, 2000, 3000, 4000, 6000, 8000)
 
@@ -161,6 +161,7 @@ def validate_eer(
     return {
         "eer": eer_reference(cl, im),
         "eer_exact": eer_exact(cl, im),
+        "min_dcf": min_dcf(cl, im),
         "mean_client": float(np.mean(cl)),
         "mean_impostor": float(np.mean(im)),
     }

@@ -103,3 +103,35 @@ def test_watchdog_detects_stall():
             wd2.beat(s)
             time.sleep(0.05)
     assert wd2.stall_count == 0
+
+
+def test_speaker_embedding_model_api(tmp_path):
+    from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+    from doubleattentionspeakerverification_tpu.config import ExperimentConfig, ModelConfig
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=24, num_spkrs=5)
+    )
+    model = SpeakerEmbeddingModel.from_random_init(cfg)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    w1 = str(tmp_path / "a.wav"); write_wav(w1, 0.3 * np.sin(2 * np.pi * 220 * t), sr)
+    w2 = str(tmp_path / "b.wav"); write_wav(w2, 0.3 * np.sin(2 * np.pi * 450 * t), sr)
+
+    e = model.embed_wav(w1)
+    assert e.shape == (24,) and np.all(np.isfinite(e))
+    s_self = model.score_wavs(w1, w1)
+    s_cross = model.score_wavs(w1, w2)
+    assert s_self == pytest.approx(1.0, abs=1e-5)
+    assert -1.0 <= s_cross <= 1.0
+    assert model.verify(w1, w1, threshold=0.99)
+
+    # batched features path
+    feats = np.random.default_rng(0).standard_normal((3, 40, 80)).astype(np.float32)
+    embs = model.embed_features(feats, np.array([40, 30, 20], np.int32))
+    assert embs.shape == (3, 24)
+
+
+import pytest  # noqa: E402

@@ -84,3 +84,18 @@ def test_cosine_matches_torch():
     ours = cosine_scores(a, b)
     ref = F.cosine_similarity(torch.tensor(a), torch.tensor(b), dim=-1, eps=1e-8).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_min_dcf():
+    from doubleattentionspeakerverification_tpu.evaluation.eer import min_dcf
+
+    rng = np.random.default_rng(0)
+    # perfectly separable -> minDCF ~ 0
+    assert min_dcf(rng.uniform(0.5, 1, 200), rng.uniform(-1, -0.5, 200)) < 1e-9
+    # fully overlapped -> minDCF ~ 1 (the "accept everything/nothing" cost)
+    same = rng.normal(0, 1, 4000)
+    v = min_dcf(same[:2000], same[2000:])
+    assert 0.8 <= v <= 1.01
+    # partial overlap sits in between
+    v2 = min_dcf(rng.normal(1.0, 0.5, 2000), rng.normal(0.0, 0.5, 2000))
+    assert 0.0 < v2 < 0.9
