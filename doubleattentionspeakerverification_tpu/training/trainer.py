@@ -237,7 +237,6 @@ class Trainer:
         cfg = self.cfg
         rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
         self._print_t0 = time.time()
-        window_loss, window_acc, window_n = 0.0, 0.0, 0
 
         from ..utils.watchdog import Watchdog
 

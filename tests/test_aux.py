@@ -135,3 +135,59 @@ def test_speaker_embedding_model_api(tmp_path):
 
 
 import pytest  # noqa: E402
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from doubleattentionspeakerverification_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "trace")):
+        with annotate("matmul"):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+
+    assert any(os.scandir(str(tmp_path / "trace")))
+
+
+def test_corrupt_checkpoint_errors_cleanly(tmp_path):
+    import pytest as _pytest
+
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import load_checkpoint
+
+    p = str(tmp_path / "bad_1.npz")
+    open(p, "wb").write(b"not an npz")
+    with _pytest.raises(Exception):
+        load_checkpoint(p, {"a": np.zeros(3)})
+
+    # shape mismatch detected
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import save_checkpoint
+
+    good = str(tmp_path / "good_1.npz")
+    save_checkpoint(good, {"a": np.zeros(3)}, {})
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(good, {"a": np.zeros(4)})
+    with _pytest.raises(KeyError):
+        load_checkpoint(good, {"b": np.zeros(3)})
+
+
+def test_long_utterance_embedding_finite():
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import ModelConfig
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        get_embedding,
+        init_speaker_classifier,
+    )
+
+    cfg = ModelConfig(kernel_size=16, heads_number=4, embedding_size=24, num_spkrs=5)
+    params, state = init_speaker_classifier(jax.random.PRNGKey(0), cfg)
+    # 80 s utterance with a short one padded in the same bucket
+    x = np.random.default_rng(0).standard_normal((2, 8000, 80)).astype(np.float32) * 5
+    lens = np.array([8000, 123], np.int32)
+    emb = np.asarray(get_embedding(params, state, x, lens, cfg))
+    assert np.all(np.isfinite(emb))
+    # the short item must match its unpadded forward exactly
+    e_short = np.asarray(get_embedding(params, state, x[1:2, :123], None, cfg))
+    np.testing.assert_allclose(emb[1], e_short[0], atol=3e-5)
