@@ -13,7 +13,7 @@ this is the library-first equivalent: load once, embed/score many.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ normalization is CMN regardless of the training setting
 from __future__ import annotations
 
 import argparse
-from functools import partial
+
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ from ..config import ModelConfig
 from .amsoftmax import amsoftmax_apply, init_amsoftmax
 from .init import linear_params
 from .poolings import apply_pooling, init_pooling, pooled_dim
-from .vgg import init_vgg, output_lengths, vgg_apply, vgg_output_dim
+from .vgg import init_vgg, vgg_apply, vgg_output_dim
 
 
 class ModelState(NamedTuple):

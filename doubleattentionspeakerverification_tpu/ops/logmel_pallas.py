@@ -19,18 +19,14 @@ Constants (Hamming window folded into the DFT bases, Slaney mel) come from
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import FeatureConfig
 from ..dsp.features import _dft_mel_constants, num_frames, preemphasize
-
-HOP = None  # constants live in FeatureConfig; kernel is specialized per call
 
 
 def _kernel(
@@ -83,7 +79,6 @@ def log_mel_spectrogram_pallas(
         return log_mel_spectrogram_pallas(wave[None], cfg, tile_frames)[0]
     b, n = wave.shape
     hop, n_fft = cfg.hop_length, cfg.n_fft
-    assert n_fft % hop != 0 or True
     t = num_frames(n, cfg)
     n_tiles = max(1, -(-t // tile_frames))
     rows_needed = tile_frames + (n_fft // hop)

@@ -18,7 +18,6 @@ All collectives ride ICI inside a slice; batch stays sharded over 'data'.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

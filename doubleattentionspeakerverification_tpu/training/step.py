@@ -12,7 +12,7 @@ In 'wav' mode the log-mel front-end runs inside the step (device DSP).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
