@@ -45,7 +45,7 @@ def _kernel(
 ):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
-    rows_needed = tile_frames + (n_fft // hop)  # e.g. 128 + 3
+    rows_needed = tile_frames + 8  # covers the +ceil(n_fft/hop) overlap, 8-aligned
 
     # DMA this tile's chunk rows: audio (B, C, hop) -> rows (rows_needed, hop)
     dma = pltpu.make_async_copy(
@@ -59,9 +59,15 @@ def _kernel(
     rows = rows_ref[:]                                    # (R, hop)
     n_whole = n_fft // hop                                # 3 whole rows/frame
     rem = n_fft - n_whole * hop                           # 32 leftover samples
-    parts = [rows[i : i + tile_frames, :] for i in range(n_whole)]
+    # frame i = rows[i..i+3] (+32 samples of row i+3). Shifted views are built
+    # with layout-preserving rolls: slicing at row offsets 1..3 directly makes
+    # Mosaic's concatenate see misaligned sublane layouts.
+    parts = []
+    for i in range(n_whole):
+        shifted = pltpu.roll(rows, rows_needed - i, 0) if i else rows
+        parts.append(shifted[:tile_frames, :])
     if rem:
-        parts.append(rows[n_whole : n_whole + tile_frames, :rem])
+        parts.append(pltpu.roll(rows, rows_needed - n_whole, 0)[:tile_frames, :rem])
     frames = jnp.concatenate(parts, axis=1)               # (tile, n_fft)
 
     re = jnp.dot(frames, cosb_ref[:], preferred_element_type=jnp.float32)
@@ -81,11 +87,11 @@ def log_mel_spectrogram_pallas(
     hop, n_fft = cfg.hop_length, cfg.n_fft
     t = num_frames(n, cfg)
     n_tiles = max(1, -(-t // tile_frames))
-    rows_needed = tile_frames + (n_fft // hop)
+    rows_needed = tile_frames + 8
 
     y = preemphasize(wave.astype(jnp.float32), cfg)
     # pad so every tile's DMA window is in bounds, then chunk into hop rows
-    total_rows = n_tiles * tile_frames + (n_fft // hop) + 1
+    total_rows = n_tiles * tile_frames + 8
     pad = total_rows * hop - n
     y = jnp.pad(y, ((0, 0), (0, pad)))
     chunks = y.reshape(b, total_rows, hop)
@@ -98,7 +104,7 @@ def log_mel_spectrogram_pallas(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # audio chunks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # audio stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

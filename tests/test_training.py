@@ -411,3 +411,49 @@ def test_device_prefetch_iterator():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="boom"):
         next(g)
+
+
+def test_training_reduces_eer_end_to_end(tmp_path):
+    """The full pipeline learns: train on synthetic speakers with
+    CMN-surviving structure until trial EER collapses. (Speaker identity is
+    injected as spectral modulation patterns — a plain per-speaker mean would
+    be erased by CMN.)"""
+    import dataclasses
+    import pickle
+
+    root = tmp_path / "feats"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    n_spk, per = 6, 10
+    lines = []
+    amps = rng.uniform(0.5, 2.0, (n_spk, 80))
+    freqs = rng.uniform(0.05, 0.45, (n_spk,))
+    for spk in range(n_spk):
+        for i in range(per):
+            t = int(rng.integers(70, 120))
+            phase = rng.uniform(0, 2 * np.pi)
+            tt = np.arange(t)
+            sig = amps[spk][:, None] * np.sin(2 * np.pi * freqs[spk] * tt + phase)[None, :]
+            feats = (sig + 0.3 * rng.standard_normal((80, t))).astype(np.float32)
+            pickle.dump(feats, open(root / f"s{spk}_{i}.pickle", "wb"))
+            lines.append(f"s{spk}_{i} {spk} -1\n")
+    (tmp_path / "labels.ndx").write_text("".join(lines))
+    cl, im = [], []
+    for s in range(n_spk):
+        cl += [f"s{s}_0 s{s}_1\n", f"s{s}_2 s{s}_3\n"]
+        im += [f"s{s}_0 s{(s + 1) % n_spk}_0\n", f"s{s}_1 s{(s + 2) % n_spk}_2\n"]
+    (tmp_path / "clients.ndx").write_text("".join(cl))
+    (tmp_path / "impostors.ndx").write_text("".join(im))
+
+    cfg = _tiny_cfg(tmp_path, n_spk=n_spk, batch_size=6, gradient_accumulation=1,
+                    learning_rate=2e-3, validate_every=0, max_epochs=28,
+                    window_size=0.6)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, mask_prob=0.02, margin_factor=0.2)
+    )
+    tr = Trainer(cfg)
+    before = tr.validate()["eer_exact"]
+    tr.train()
+    after = tr.validate()["eer_exact"]
+    assert before > 25.0  # random model can't separate
+    assert after <= 15.0, (before, after)  # trained model can
