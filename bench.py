@@ -30,6 +30,14 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 def main():
     import jax
 
+    # persistent compilation cache: repeat bench runs skip the ~2 min
+    # flagship-step compile where the backend honors it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from doubleattentionspeakerverification_tpu.config import (
         ExperimentConfig,
         ModelConfig,

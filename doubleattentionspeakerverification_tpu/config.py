@@ -71,6 +71,10 @@ class ModelConfig:
     # trades ~1/3 more conv FLOPs for O(blocks) less activation memory —
     # for very large per-chip batches.
     remat_vgg: bool = False
+    # Fused pallas log-mel kernel for the wav path (ops/logmel_pallas.py):
+    # one HBM pass over audio, ~2x the XLA DSP throughput on TPU. Numerics
+    # match the XLA path to ~1e-5 (both parity-tested vs the reference).
+    use_pallas_dsp: bool = False
     # Parity toggle: reference scales MHA scores by sqrt(heads_number)
     # because of the d_k=query.size(-1)==heads quirk (scripts/poolings.py:75-76).
     # True  -> divide by sqrt(heads_number)  (reference behavior)

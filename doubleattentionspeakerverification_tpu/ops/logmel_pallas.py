@@ -47,7 +47,10 @@ def _kernel(
     ti = pl.program_id(1)
     rows_needed = tile_frames + 8  # covers the +ceil(n_fft/hop) overlap, 8-aligned
 
-    # DMA this tile's chunk rows: audio (B, C, hop) -> rows (rows_needed, hop)
+    # DMA this tile's chunk rows: audio (B, C, row_width) -> rows. Rows are
+    # host-padded to a 128-multiple lane width so the HBM slice is full-width
+    # (Mosaic can't DMA sub-lane-tile slices); the kernel reads the hop-sample
+    # prefix of each row.
     dma = pltpu.make_async_copy(
         audio_hbm.at[bi, pl.ds(ti * tile_frames, rows_needed), :],
         rows_ref,
@@ -56,7 +59,7 @@ def _kernel(
     dma.start()
     dma.wait()
 
-    rows = rows_ref[:]                                    # (R, hop)
+    rows = rows_ref[:, :hop]                              # (R, hop)
     n_whole = n_fft // hop                                # 3 whole rows/frame
     rem = n_fft - n_whole * hop                           # 32 leftover samples
     # frame i = rows[i..i+3] (+32 samples of row i+3). Shifted views are built
@@ -70,10 +73,13 @@ def _kernel(
         parts.append(pltpu.roll(rows, rows_needed - n_whole, 0)[:tile_frames, :rem])
     frames = jnp.concatenate(parts, axis=1)               # (tile, n_fft)
 
-    re = jnp.dot(frames, cosb_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sinb_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision: near-cancelling low-frequency DFT bins need true-f32
+    # multiplies, not the MXU's default bf16 passes (same pin as the XLA path)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cosb_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(frames, sinb_ref[:], preferred_element_type=jnp.float32, precision=hi)
     mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32, precision=hi)
     out_ref[0] = jnp.log(jnp.maximum(log_floor, mel))
 
 
@@ -90,11 +96,15 @@ def log_mel_spectrogram_pallas(
     rows_needed = tile_frames + 8
 
     y = preemphasize(wave.astype(jnp.float32), cfg)
-    # pad so every tile's DMA window is in bounds, then chunk into hop rows
+    # pad so every tile's DMA window is in bounds, then chunk into hop rows,
+    # each padded to a 128-multiple lane width for full-width DMA slices
     total_rows = n_tiles * tile_frames + 8
     pad = total_rows * hop - n
     y = jnp.pad(y, ((0, 0), (0, pad)))
+    row_width = -(-hop // 128) * 128
     chunks = y.reshape(b, total_rows, hop)
+    if row_width != hop:
+        chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, row_width - hop)))
 
     cos_b, sin_b, mel_t = _dft_mel_constants(cfg)
     kernel = functools.partial(
@@ -115,7 +125,7 @@ def log_mel_spectrogram_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_frames, cfg.n_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows_needed, hop), jnp.float32),
+            pltpu.VMEM((rows_needed, row_width), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(chunks, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_t))

@@ -49,7 +49,15 @@ def _prepare_inputs(batch: Dict[str, jnp.ndarray], cfg: ExperimentConfig):
         waves = batch["waves"]
         if waves.dtype == jnp.int16:  # PCM transfer: undo the host-side scale
             waves = waves.astype(jnp.float32) / 32768.0
-        feats = log_mel_spectrogram(waves, cfg.features)
+        if cfg.model.use_pallas_dsp:
+            from ..ops.logmel_pallas import log_mel_spectrogram_pallas
+
+            g, b = waves.shape[:2]
+            feats = log_mel_spectrogram_pallas(
+                waves.reshape(g * b, -1), cfg.features
+            ).reshape(g, b, -1, cfg.features.n_mels)
+        else:
+            feats = log_mel_spectrogram(waves, cfg.features)
         if full:
             return normalize_features(feats, cfg.train.normalization), None
         lens = frames_for_samples(batch["lengths"], cfg.features)

@@ -38,3 +38,50 @@ def test_single_wave_shape():
     got = np.asarray(log_mel_spectrogram_pallas(wave, cfg, tile_frames=32))
     ref = np.asarray(log_mel_spectrogram(wave, cfg))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_train_step_with_pallas_dsp_matches_xla_dsp(tmp_path):
+    """Wav-mode step with use_pallas_dsp must match the XLA-DSP step."""
+    import dataclasses
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import (
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.dsp.features import (
+        num_samples_for_frames,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    base = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=24,
+                          num_spkrs=4, mask_prob=0.02),
+        train=TrainConfig(batch_size=2, gradient_accumulation=2),
+    )
+    n = num_samples_for_frames(50, base.features)
+    rng = np.random.default_rng(0)
+    batch = {
+        "waves": (rng.standard_normal((2, 2, n)) * 0.1).astype(np.float32),
+        "lengths": np.full((2, 2), n, np.int32),
+        "labels": np.array([[0, 1], [2, 3]], np.int32),
+    }
+    losses = {}
+    for name, use in (("xla", False), ("pallas", True)):
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, use_pallas_dsp=use)
+        )
+        params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+        state = init_train_state(params, ms, cfg)
+        step = make_train_step(cfg, donate=False)
+        _, m = step(state, batch, jax.random.PRNGKey(1))
+        losses[name] = float(m["loss"])
+    assert losses["pallas"] == pytest.approx(losses["xla"], rel=1e-4)
