@@ -75,6 +75,11 @@ class ModelConfig:
     # one HBM pass over audio, ~2x the XLA DSP throughput on TPU. Numerics
     # match the XLA path to ~1e-5 (both parity-tested vs the reference).
     use_pallas_dsp: bool = False
+    # Large-vocabulary classifier: when > 0, the train step computes the
+    # AM-Softmax CE by scanning W in chunks of this many classes
+    # (ops/chunked_amsoftmax.py) — peak memory (B, chunk) instead of
+    # (B, n_spkrs). 0 = dense head. Composes with 'model'-axis sharding.
+    classifier_chunk: int = 0
     # Parity toggle: reference scales MHA scores by sqrt(heads_number)
     # because of the d_k=query.size(-1)==heads quirk (scripts/poolings.py:75-76).
     # True  -> divide by sqrt(heads_number)  (reference behavior)

@@ -171,6 +171,22 @@ def dataclasses_replace_no_pallas(cfg: ModelConfig) -> ModelConfig:
     return dataclasses.replace(cfg, use_pallas_pooling=False)
 
 
+def classifier_features(
+    params,
+    state: ModelState,
+    x: jnp.ndarray,
+    lengths: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> Tuple[jnp.ndarray, ModelState]:
+    """Trunk + preLayer: the (B, emb) vector the AM-Softmax head consumes
+    (``model.py:61-68`` up to predictionLayer). Used by alternative heads
+    (chunked / sharded large-vocab CE)."""
+    e2, new_state, _ = _embed_trunk(params, state, x, lengths, cfg, train, rng)
+    return _linear(params["pre_layer"], e2), new_state
+
+
 def speaker_classifier_apply(
     params,
     state: ModelState,

@@ -78,6 +78,18 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     mcfg = cfg.model
 
     def microbatch_loss(params, model_state, feats, lengths, labels, step, rng):
+        if mcfg.classifier_chunk > 0:
+            from ..models.classifier import classifier_features
+            from ..ops.chunked_amsoftmax import chunked_amsoftmax_ce
+
+            e3, new_ms = classifier_features(
+                params, model_state, feats, lengths, mcfg, train=True, rng=rng
+            )
+            loss, acc = chunked_amsoftmax_ce(
+                params["amsoftmax"], e3, labels, step, mcfg,
+                chunk=mcfg.classifier_chunk,
+            )
+            return loss, (new_ms, acc)
         costh, logits, new_ms = speaker_classifier_apply(
             params, model_state, feats, labels, step, mcfg,
             lengths=lengths, train=True, rng=rng,
