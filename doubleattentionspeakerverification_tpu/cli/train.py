@@ -41,6 +41,8 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             margin_factor=params.marginFactor,
             annealing=params.annealing,
             compute_dtype=params.compute_dtype,
+            use_pallas_dsp=params.use_pallas_dsp,
+            classifier_chunk=params.classifier_chunk,
         ),
         train=TrainConfig(
             window_size=params.window_size,
@@ -118,6 +120,11 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="shards of the AM-Softmax classifier over the mesh 'model' axis")
+    parser.add_argument("--use_pallas_dsp", action="store_true",
+                        help="fused pallas log-mel kernel for the wav path (~2x DSP)")
+    parser.add_argument("--classifier_chunk", type=int, default=0,
+                        help=">0: scan the AM-Softmax W in class chunks of this size "
+                             "(memory-bounded CE for very large speaker counts)")
     parser.add_argument("--checkpoint_every", type=int, default=0)
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--transfer_dtype", type=str, default="float32",
