@@ -49,6 +49,8 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             random_slicing=params.randomSlicing,
             normalization=params.normalization,
             optimizer=params.optimizer,
+            criterion=params.criterion,
+            focal_gamma=params.focal_gamma,
             learning_rate=params.learning_rate,
             weight_decay=params.weight_decay,
             batch_size=params.batch_size,
@@ -104,6 +106,14 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--annealing", action="store_true")
     # optimization
     parser.add_argument("--optimizer", type=str, default="Adam", choices=["Adam", "SGD", "RMSprop"])
+    parser.add_argument("--criterion", type=str, default="cross_entropy",
+                        choices=["cross_entropy", "focal"],
+                        help="loss criterion; 'focal' activates the reference's "
+                             "dead FocalSoftmax semantics (loss.py:54-70)")
+    parser.add_argument("--focal_gamma", type=float, default=2.0)
+    # Parsed-but-unused in the reference (train.py:258); accepted here so
+    # reference invocations are drop-in.
+    parser.add_argument("--data_mode", type=str, default="normal")
     parser.add_argument("--learning_rate", type=float, default=0.0001)
     parser.add_argument("--weight_decay", type=float, default=0.001)
     parser.add_argument("--batch_size", type=int, default=64)

@@ -98,6 +98,10 @@ class TrainConfig:
     random_slicing: bool = False          # batch-level random truncation (train.py:205-207)
     normalization: str = "cmn"            # 'cmn' | 'cmvn' (data.py:21-30)
     optimizer: str = "Adam"               # 'Adam' | 'SGD' | 'RMSprop'
+    # Loss criterion. The reference defines FocalSoftmax (loss.py:54-70) but
+    # never instantiates it; here 'focal' is actually selectable.
+    criterion: str = "cross_entropy"      # 'cross_entropy' | 'focal'
+    focal_gamma: float = 2.0              # gamma of (1-p)^gamma * CE (loss.py:60)
     learning_rate: float = 1e-4
     weight_decay: float = 1e-3
     batch_size: int = 64                  # per optimizer step = batch_size * gradient_accumulation

@@ -20,7 +20,7 @@ import optax
 
 from ..config import ExperimentConfig
 from ..dsp.features import frames_for_samples, log_mel_spectrogram, normalize_features
-from ..models.amsoftmax import cross_entropy
+from ..models.amsoftmax import cross_entropy, focal_cross_entropy
 from ..models.classifier import ModelState, speaker_classifier_apply
 from .optimizers import make_optimizer
 
@@ -76,6 +76,12 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     """
     opt = make_optimizer(cfg.train)
     mcfg = cfg.model
+    if cfg.train.criterion not in ("cross_entropy", "focal"):
+        raise ValueError(f"unknown criterion {cfg.train.criterion!r}")
+    if cfg.train.criterion == "focal" and mcfg.classifier_chunk > 0:
+        raise ValueError(
+            "criterion='focal' needs full logits; incompatible with classifier_chunk"
+        )
 
     def microbatch_loss(params, model_state, feats, lengths, labels, step, rng):
         if mcfg.classifier_chunk > 0:
@@ -94,7 +100,10 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             params, model_state, feats, labels, step, mcfg,
             lengths=lengths, train=True, rng=rng,
         )
-        loss = cross_entropy(logits, labels)
+        if cfg.train.criterion == "focal":
+            loss = focal_cross_entropy(logits, labels, cfg.train.focal_gamma)
+        else:
+            loss = cross_entropy(logits, labels)
         acc = jnp.mean((jnp.argmax(costh, axis=-1) == labels).astype(jnp.float32))
         return loss, (new_ms, acc)
 

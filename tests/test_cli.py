@@ -181,3 +181,12 @@ def test_reference_script_shims(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "[" in r.stdout
+
+
+def test_reference_dead_flags_and_criterion_accepted():
+    """Reference invocations carrying --data_mode (parsed-but-unused there,
+    train.py:258) must be drop-in; --criterion selects the focal loss."""
+    from doubleattentionspeakerverification_tpu.cli.train import make_parser
+
+    p = make_parser().parse_args(["--data_mode", "normal", "--criterion", "focal"])
+    assert p.data_mode == "normal" and p.criterion == "focal"

@@ -457,3 +457,61 @@ def test_training_reduces_eer_end_to_end(tmp_path):
     after = tr.validate()["eer_exact"]
     assert before > 25.0  # random model can't separate
     assert after <= 15.0, (before, after)  # trained model can
+
+
+# ------------------------------------------------------------ focal criterion
+def test_focal_cross_entropy_matches_reference():
+    """Our focal CE reproduces the reference FocalSoftmax (loss.py:54-70),
+    including its quirk of applying the focal weight to the batch-MEAN CE."""
+    from conftest import add_reference_path, reference_available
+    from doubleattentionspeakerverification_tpu.models.amsoftmax import (
+        focal_cross_entropy,
+    )
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((6, 10)).astype(np.float32) * 3
+    labels = rng.integers(0, 10, (6,)).astype(np.int64)
+    ours = float(focal_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+
+    if reference_available():
+        add_reference_path()
+        import torch
+        from loss import FocalSoftmax
+
+        ref = float(FocalSoftmax()(torch.tensor(logits), torch.tensor(labels)))
+    else:  # semantics oracle: (1 - exp(-meanCE))^2 * meanCE
+        z = logits - logits.max(axis=-1, keepdims=True)
+        logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+        ce = float(-logp[np.arange(6), labels].mean())
+        ref = (1.0 - np.exp(-ce)) ** 2 * ce
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_focal_criterion_train_step(tmp_path):
+    cfg = _tiny_cfg(tmp_path, criterion="focal", focal_gamma=2.0)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    step_fn = make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(1)
+    batch = {
+        "inputs": rng.standard_normal((2, 4, 80, 80)).astype(np.float32),
+        "lengths": np.full((2, 4), 80, np.int32),
+        "labels": np.tile(np.arange(4, dtype=np.int32), (2, 1)),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    focal_loss = float(metrics["loss"])
+    assert np.isfinite(focal_loss)
+    # focal weight (1-p)^gamma < 1 strictly shrinks every microbatch CE
+    ce_cfg = _tiny_cfg(tmp_path)
+    ce_state = init_train_state(*init_speaker_classifier(jax.random.PRNGKey(0), ce_cfg.model), ce_cfg)
+    _, ce_metrics = make_train_step(ce_cfg, donate=False)(ce_state, batch, jax.random.PRNGKey(0))
+    assert focal_loss < float(ce_metrics["loss"])
+
+
+def test_focal_incompatible_with_chunked_classifier(tmp_path):
+    import dataclasses
+
+    cfg = _tiny_cfg(tmp_path, criterion="focal")
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, classifier_chunk=2))
+    with pytest.raises(ValueError, match="focal"):
+        make_train_step(cfg, donate=False)
