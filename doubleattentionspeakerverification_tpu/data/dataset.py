@@ -212,9 +212,15 @@ class TrainLoader:
         }
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Iterate one epoch with deterministic shuffling + prefetch thread."""
-        rng = np.random.default_rng((self.seed, epoch_idx, 0xD47A))
-        order = rng.permutation(len(self.manifest))
+        """Iterate one epoch with deterministic shuffling + prefetch thread.
+
+        ``DataConfig.num_workers`` (the reference DataLoader's knob,
+        ``train.py:78``) sets how many threads assemble batches in parallel;
+        each step derives its own RNG from (seed, epoch, step), so the output
+        stream is identical for any worker count.
+        """
+        shuffle_rng = np.random.default_rng((self.seed, epoch_idx, 0xD47A))
+        order = shuffle_rng.permutation(len(self.manifest))
         per_step = self.group * self.batch
         n_steps = len(order) // per_step
         if n_steps == 0:
@@ -222,19 +228,50 @@ class TrainLoader:
 
         q: queue.Queue = queue.Queue(maxsize=max(1, self.data_cfg.prefetch))
         stop = threading.Event()
+        workers = max(1, self.data_cfg.num_workers)
+
+        def make_step(s: int) -> Dict[str, np.ndarray]:
+            rng = np.random.default_rng((self.seed, epoch_idx, s))
+            idx = order[s * per_step : (s + 1) * per_step]
+            return self._assemble([self.manifest[i] for i in idx], rng)
+
+        def safe_put(item) -> bool:
+            # never block forever on a consumer that went away: a producer
+            # stuck in q.put would keep the executor's non-daemon threads
+            # alive past interpreter shutdown
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
-                for s in range(n_steps):
-                    if stop.is_set():
-                        return
-                    idx = order[s * per_step : (s + 1) * per_step]
-                    utts = [self.manifest[i] for i in idx]
-                    q.put(self._assemble(utts, rng))
+                if workers == 1:
+                    for s in range(n_steps):
+                        if stop.is_set() or not safe_put(make_step(s)):
+                            return
+                else:
+                    from collections import deque
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=workers) as ex:
+                        pending: deque = deque()
+                        next_s = 0
+                        # bounded in-flight submissions: queue maxsize bounds
+                        # finished batches, this bounds unfinished ones
+                        while (next_s < n_steps or pending) and not stop.is_set():
+                            while next_s < n_steps and len(pending) < workers + 2:
+                                pending.append(ex.submit(make_step, next_s))
+                                next_s += 1
+                            if not safe_put(pending.popleft().result()):
+                                return
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                safe_put(e)
             else:
-                q.put(None)
+                safe_put(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()

@@ -43,5 +43,15 @@ def load_trials(path: str) -> List[Tuple[str, str]]:
 
 
 def shard_for_host(items: Sequence, host_id: int, num_hosts: int) -> List:
-    """Deterministic per-host shard (round-robin) for multi-host training."""
-    return list(items[host_id::num_hosts])
+    """Deterministic per-host shard (round-robin) for multi-host training.
+
+    Every host receives exactly ``len(items) // num_hosts`` items (the
+    remainder is dropped): uneven shards would give hosts different
+    steps-per-epoch, and the host with the extra step would block forever in
+    the jitted step's gradient all-reduce while the others have already left
+    the epoch loop.
+    """
+    if num_hosts <= 1:
+        return list(items)
+    per = len(items) // num_hosts
+    return [items[host_id + i * num_hosts] for i in range(per)]

@@ -73,13 +73,7 @@ def wav_feature_loader(
         if cfg not in jit_cache:
             jit_cache[cfg] = jax.jit(lambda w, c=cfg: log_mel_spectrogram(w, c))
         feats = np.asarray(jit_cache[cfg](padded))[: num_frames(n, cfg)]
-        mean = feats.mean(axis=0)
-        feats = feats - mean
-        if normalization == "cmvn":
-            std = (feats + mean).std(axis=0)
-            std = np.where(std > 0.01, std, 1.0)
-            feats = feats / std
-        return feats
+        return normalize_np(feats, normalization)
 
     return load
 
@@ -88,7 +82,12 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:
             return b
-    return buckets[-1]
+    # beyond the static grid: round up to a multiple of the largest bucket
+    # (one extra XLA compilation per distinct size actually seen) rather than
+    # silently truncating long utterances — the reference embeds full length
+    # (train.py:107-133)
+    big = buckets[-1]
+    return -(-length // big) * big
 
 
 class EmbeddingExtractor:
@@ -122,8 +121,7 @@ class EmbeddingExtractor:
         feats = {u: self.load(u) for u in todo}
         by_bucket: Dict[int, List[str]] = {}
         for u in todo:
-            t = min(feats[u].shape[0], self.buckets[-1])
-            by_bucket.setdefault(bucket_for(t, self.buckets), []).append(u)
+            by_bucket.setdefault(bucket_for(feats[u].shape[0], self.buckets), []).append(u)
 
         for bucket, utts in sorted(by_bucket.items()):
             for i in range(0, len(utts), self.batch_size):
@@ -132,7 +130,7 @@ class EmbeddingExtractor:
                 x = np.zeros((b, bucket, feats[chunk[0]].shape[1]), np.float32)
                 lengths = np.zeros((b,), np.int32)
                 for j, u in enumerate(chunk):
-                    f = feats[u][:bucket]
+                    f = feats[u]
                     x[j, : f.shape[0]] = f
                     lengths[j] = f.shape[0]
                 emb = np.asarray(self._embed(self.params, self.state, x, lengths))

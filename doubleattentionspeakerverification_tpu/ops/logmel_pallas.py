@@ -42,10 +42,11 @@ def _kernel(
     hop: int,
     n_fft: int,
     log_floor: float,
+    overlap: int,
 ):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
-    rows_needed = tile_frames + 8  # covers the +ceil(n_fft/hop) overlap, 8-aligned
+    rows_needed = tile_frames + overlap  # ceil(n_fft/hop) extra rows, 8-aligned
 
     # DMA this tile's chunk rows: audio (B, C, row_width) -> rows. Rows are
     # host-padded to a 128-multiple lane width so the HBM slice is full-width
@@ -93,12 +94,16 @@ def log_mel_spectrogram_pallas(
     hop, n_fft = cfg.hop_length, cfg.n_fft
     t = num_frames(n, cfg)
     n_tiles = max(1, -(-t // tile_frames))
-    rows_needed = tile_frames + 8
+    # rows one frame spans beyond its own, 8-aligned for sublane-friendly
+    # shapes — derived from the config, so non-default hop/n_fft stay correct
+    frame_rows = -(-n_fft // hop)
+    overlap = -(-frame_rows // 8) * 8
+    rows_needed = tile_frames + overlap
 
     y = preemphasize(wave.astype(jnp.float32), cfg)
     # pad so every tile's DMA window is in bounds, then chunk into hop rows,
     # each padded to a 128-multiple lane width for full-width DMA slices
-    total_rows = n_tiles * tile_frames + 8
+    total_rows = n_tiles * tile_frames + overlap
     pad = total_rows * hop - n
     y = jnp.pad(y, ((0, 0), (0, pad)))
     row_width = -(-hop // 128) * 128
@@ -108,7 +113,8 @@ def log_mel_spectrogram_pallas(
 
     cos_b, sin_b, mel_t = _dft_mel_constants(cfg)
     kernel = functools.partial(
-        _kernel, tile_frames=tile_frames, hop=hop, n_fft=n_fft, log_floor=cfg.log_floor
+        _kernel, tile_frames=tile_frames, hop=hop, n_fft=n_fft,
+        log_floor=cfg.log_floor, overlap=overlap,
     )
     out = pl.pallas_call(
         kernel,

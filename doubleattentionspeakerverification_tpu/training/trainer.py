@@ -93,6 +93,8 @@ class Trainer:
         self.starting_epoch = 0
         self.epoch = 0
         self.best_ckpt_path: Optional[str] = None
+        self._print_t0 = time.time()
+        self._pause_s = 0.0
         self._checkpointer = AsyncCheckpointer()
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
@@ -153,6 +155,7 @@ class Trainer:
         return result
 
     def _on_validation(self) -> None:
+        t_pause = time.time()
         result = self.validate()
         eer = result["eer"]
         self.log.log(
@@ -174,7 +177,10 @@ class Trainer:
         else:
             self.stopping += 1
             self.log.log("no_improvement", best_eer=self.best_eer, stopping=self.stopping)
-        self._print_t0 = time.time()
+        # exclude validation time from the throughput print window; resetting
+        # _print_t0 here would instead desync it from metric_buf (steps before
+        # the validation would be divided by post-validation time only)
+        self._pause_s += time.time() - t_pause
 
     # ------------------------------------------------------------ checkpoint
     def _meta(self) -> Dict:
@@ -186,6 +192,7 @@ class Trainer:
             "best_eer": self.best_eer,
             "stopping": self.stopping,
             "lr": get_lr(self.state.opt_state),
+            "best_ckpt_path": self.best_ckpt_path,
         }
 
     def _save(self, kind: str = "periodic") -> str:
@@ -218,6 +225,7 @@ class Trainer:
         self.starting_epoch = int(meta.get("epoch", 0)) + 1
         self.best_eer = float(meta.get("best_eer", 50.0))
         self.stopping = int(meta.get("stopping", 0))
+        self.best_ckpt_path = meta.get("best_ckpt_path") or self.best_ckpt_path
         self.log.log("resume", path=path, step=int(self.state.step), epoch=self.starting_epoch)
         return True
 
@@ -237,6 +245,7 @@ class Trainer:
         cfg = self.cfg
         rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
         self._print_t0 = time.time()
+        self._pause_s = 0.0
 
         from ..utils.watchdog import Watchdog
 
@@ -274,7 +283,7 @@ class Trainer:
                     window_loss, window_acc = vals[:, 0].sum(), vals[:, 1].sum()
                     window_n = len(metric_buf)
                     metric_buf = []
-                    elapsed = time.time() - self._print_t0
+                    elapsed = time.time() - self._print_t0 - self._pause_s
                     samples = window_n * cfg.train.batch_size * cfg.train.gradient_accumulation
                     self.log.log(
                         "train",
@@ -286,6 +295,7 @@ class Trainer:
                         elapsed_min=elapsed / 60,
                     )
                     self._print_t0 = time.time()
+                    self._pause_s = 0.0
 
                 if cfg.train.validate_every and step % cfg.train.validate_every == 0:
                     self._on_validation()

@@ -80,7 +80,10 @@ class AsyncCheckpointer:
         host_tree = jax.tree.map(np.asarray, tree)  # sync device->host copy
         with self._lock:
             self._pending[path] = (host_tree, meta)
-            if self._thread is None or not self._thread.is_alive():
+            # _drain clears self._thread under this same lock before exiting,
+            # so checking the attribute (not is_alive(), which stays True for
+            # a worker that has already decided to exit) cannot lose a save
+            if self._thread is None:
                 self._thread = threading.Thread(target=self._drain, daemon=True)
                 self._thread.start()
         return path
@@ -89,14 +92,23 @@ class AsyncCheckpointer:
         while True:
             with self._lock:
                 if not self._pending:
+                    self._thread = None
                     return
                 path, (tree, meta) = self._pending.popitem()
             save_checkpoint(path, tree, meta)
 
     def wait(self, timeout: float = 120.0) -> None:
-        t = self._thread
-        if t is not None:
-            t.join(timeout)
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            with self._lock:
+                t = self._thread
+            if t is None:
+                return
+            t.join(max(0.0, deadline - time.monotonic()))
+            if time.monotonic() >= deadline:
+                return
 
 
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
@@ -147,14 +159,16 @@ def latest_checkpoint(out_dir: str) -> Optional[str]:
 
 
 def prune_checkpoints(out_dir: str, model_name: str, keep: int, protect: Tuple[str, ...] = ()) -> None:
-    """Keep the newest ``keep`` periodic checkpoints (never the protected)."""
+    """Keep the newest ``keep`` periodic checkpoints. Best-EER checkpoints
+    (``*_best_*.npz``) are never pruned — they are the requeue/inference
+    artifact, and after a resume the trainer no longer holds their path."""
     if keep <= 0 or not os.path.isdir(out_dir):
         return
     entries = []
     for fname in os.listdir(out_dir):
         if fname.startswith(model_name) and fname.endswith(".npz"):
             full = os.path.join(out_dir, fname)
-            if full in protect:
+            if full in protect or "_best_" in fname:
                 continue
             m = _STEP_RE.search(fname)
             entries.append((int(m.group(1)) if m else -1, full))

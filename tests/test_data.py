@@ -64,8 +64,14 @@ def test_manifest_and_sharding():
     assert [u.label for u in utts] == [0, 3, 1]
     s0 = shard_for_host(utts, 0, 2)
     s1 = shard_for_host(utts, 1, 2)
-    assert len(s0) + len(s1) == 3
-    assert {u.path for u in s0} | {u.path for u in s1} == {"a/b", "c/d", "e/f"}
+    # every host gets the SAME count (remainder dropped): unequal shards
+    # would desynchronize lockstep multi-host steps
+    assert len(s0) == len(s1) == 1
+    assert s0[0].path != s1[0].path
+    even = parse_train_manifest([f"u{i} {i} -1\n" for i in range(6)])
+    shards = [shard_for_host(even, h, 3) for h in range(3)]
+    assert all(len(s) == 2 for s in shards)
+    assert {u.path for s in shards for u in s} == {f"u{i}" for i in range(6)}
 
 
 def make_synthetic_features(root, n_speakers=4, per_speaker=6, t_range=(60, 120), seed=0):
@@ -161,3 +167,33 @@ def test_random_slicing_buckets(tmp_path):
             assert b["lengths"].max() <= t
             shapes.add(t)
     assert len(shapes) >= 2  # actually varies
+
+
+def test_loader_output_independent_of_num_workers(tmp_path):
+    """Parallel batch assembly must not change the data stream."""
+    import dataclasses
+
+    from doubleattentionspeakerverification_tpu.config import DataConfig, TrainConfig
+    from doubleattentionspeakerverification_tpu.data.dataset import (
+        FeaturePickleSource,
+        TrainLoader,
+    )
+
+    root = str(tmp_path / "feats")
+    lines = make_synthetic_features(root, n_speakers=3, per_speaker=4)
+    manifest = parse_train_manifest(lines)
+    tc = TrainConfig(window_size=0.5, batch_size=2, gradient_accumulation=2)
+    src = FeaturePickleSource(root, "cmn", 50)
+
+    def run(workers):
+        loader = TrainLoader(
+            manifest, src, tc, DataConfig(num_workers=workers),
+            feature_dim=80,
+        )
+        return list(loader.epoch(0))
+
+    a, b = run(1), run(3)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])

@@ -99,3 +99,46 @@ def test_min_dcf():
     # partial overlap sits in between
     v2 = min_dcf(rng.normal(1.0, 0.5, 2000), rng.normal(0.0, 0.5, 2000))
     assert 0.0 < v2 < 0.9
+
+
+def test_bucket_beyond_grid_rounds_up_not_truncates():
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        DEFAULT_BUCKETS,
+        bucket_for,
+    )
+
+    assert bucket_for(300, DEFAULT_BUCKETS) == 350
+    big = DEFAULT_BUCKETS[-1]
+    # longer than every static bucket: rounded UP (reference embeds full
+    # length, train.py:107-133), never truncated
+    assert bucket_for(big + 1, DEFAULT_BUCKETS) == 2 * big
+    assert bucket_for(3 * big, DEFAULT_BUCKETS) == 3 * big
+
+
+def test_extractor_embeds_full_length_beyond_buckets():
+    """Utterances longer than every static bucket are embedded at full
+    length (rounded-up padded bucket), not truncated."""
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import ModelConfig
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        EmbeddingExtractor,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        get_embedding,
+        init_speaker_classifier,
+    )
+
+    cfg = ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4)
+    params, state = init_speaker_classifier(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    feats = {"long": rng.standard_normal((120, 80)).astype(np.float32)}
+
+    ex = EmbeddingExtractor(
+        params, state, cfg, lambda u: feats[u], buckets=(50,), batch_size=2
+    )
+    cache = ex.extract(["long"])
+    direct = np.asarray(
+        get_embedding(params, state, feats["long"][None], np.array([120], np.int32), cfg=cfg)
+    )[0]
+    np.testing.assert_allclose(cache["long"], direct, atol=1e-5)

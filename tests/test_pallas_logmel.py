@@ -85,3 +85,16 @@ def test_train_step_with_pallas_dsp_matches_xla_dsp(tmp_path):
         _, m = step(state, batch, jax.random.PRNGKey(1))
         losses[name] = float(m["loss"])
     assert losses["pallas"] == pytest.approx(losses["xla"], rel=1e-4)
+
+
+def test_small_hop_parity():
+    """hop 40 -> a frame spans 13 chunk rows (> the old hard-coded 8-row
+    overlap): the kernel must derive the overlap from the config."""
+    cfg = FeatureConfig(window_stride_s=0.0025)
+    assert cfg.hop_length == 40
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(wave, cfg))
+    got = np.asarray(log_mel_spectrogram_pallas(wave, cfg, tile_frames=32))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)

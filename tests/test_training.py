@@ -515,3 +515,36 @@ def test_focal_incompatible_with_chunked_classifier(tmp_path):
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, classifier_chunk=2))
     with pytest.raises(ValueError, match="focal"):
         make_train_step(cfg, donate=False)
+
+
+# ------------------------------------------------------ checkpoint retention
+def test_prune_never_deletes_best(tmp_path):
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import (
+        prune_checkpoints,
+        save_checkpoint,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    tree = {"w": np.zeros((2,), np.float32)}
+    best = str(out / "m_best_100.npz")
+    save_checkpoint(best, tree, {})
+    for step in (200, 300, 400, 500):
+        save_checkpoint(str(out / f"m_{step}.npz"), tree, {})
+    # no protect list (the post-requeue situation): best must still survive
+    prune_checkpoints(str(out), "m", keep=2, protect=())
+    names = sorted(os.listdir(out))
+    assert "m_best_100.npz" in names
+    assert names == ["m_400.npz", "m_500.npz", "m_best_100.npz"]
+
+
+def test_resume_restores_best_ckpt_path(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, validate_every=2, max_epochs=1, checkpoint_every=2)
+    t1 = Trainer(cfg)
+    t1.best_eer = 60.0  # guarantee the first validation counts as a best
+    t1.train()
+    assert t1.best_ckpt_path is not None and os.path.exists(t1.best_ckpt_path)
+    t2 = Trainer(cfg)
+    assert t2.resume()
+    assert t2.best_ckpt_path == t1.best_ckpt_path
