@@ -60,6 +60,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             print_every=params.print_every,
             validate_every=params.validate_every,
             checkpoint_every=params.checkpoint_every,
+            checkpoint_backend=params.checkpoint_backend,
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
             assume_full_lengths=params.assume_full_lengths,
@@ -136,6 +137,10 @@ def make_parser() -> argparse.ArgumentParser:
                         help=">0: scan the AM-Softmax W in class chunks of this size "
                              "(memory-bounded CE for very large speaker counts)")
     parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--checkpoint_backend", type=str, default="npz",
+                        choices=["npz", "orbax"],
+                        help="'orbax' writes sharded checkpoint dirs (each "
+                             "host persists only its own shards)")
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--transfer_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "int16"],

@@ -122,6 +122,9 @@ class TrainConfig:
     # we additionally save every `checkpoint_every` steps (0 = off).
     checkpoint_every: int = 0
     keep_checkpoints: int = 3
+    # 'npz' (single-file, host-gathered) or 'orbax' (sharded directory —
+    # every host writes only the shards it owns; use on multi-host meshes)
+    checkpoint_backend: str = "npz"
     # Static promise that every training window is full-length (all files
     # >= window_size seconds): drops the masking ops from the compiled step
     # (~3.5% faster). The loader verifies the promise per batch.

@@ -32,7 +32,6 @@ from ..evaluation.embeddings import (
 from ..models.classifier import get_embedding, init_speaker_classifier
 from ..utils.checkpoint import (
     AsyncCheckpointer,
-    checkpoint_path,
     latest_checkpoint,
     load_checkpoint,
     prune_checkpoints,
@@ -198,14 +197,27 @@ class Trainer:
     def _save(self, kind: str = "periodic") -> str:
         os.makedirs(self.cfg.out_dir, exist_ok=True)
         step = int(self.state.step)
-        if kind == "best":
-            path = os.path.join(self.cfg.out_dir, f"{self.model_name}_best_{step}.npz")
-        else:
-            path = checkpoint_path(self.cfg.out_dir, self.model_name, step)
+        stem = f"{self.model_name}_best_{step}" if kind == "best" else f"{self.model_name}_{step}"
+        keep = self.cfg.train.keep_checkpoints
+        if self.cfg.train.checkpoint_backend == "orbax":
+            from ..utils.orbax_ckpt import prune_orbax_checkpoints, save_checkpoint_orbax
+
+            # orbax runs its own (finalization-atomic) write path; every host
+            # participates and writes only its own shards
+            path = save_checkpoint_orbax(
+                os.path.join(self.cfg.out_dir, f"{stem}.orbax"), self.state, self._meta()
+            )
+            if kind != "best" and keep > 0:
+                prune_orbax_checkpoints(
+                    self.cfg.out_dir, self.model_name, keep,
+                    protect=(self.best_ckpt_path,) if self.best_ckpt_path else (),
+                )
+            return path
+        path = os.path.join(self.cfg.out_dir, f"{stem}.npz")
         self._checkpointer.save(path, self.state, self._meta())
-        if kind != "best" and self.cfg.train.keep_checkpoints > 0:
+        if kind != "best" and keep > 0:
             prune_checkpoints(
-                self.cfg.out_dir, self.model_name, self.cfg.train.keep_checkpoints,
+                self.cfg.out_dir, self.model_name, keep,
                 protect=(self.best_ckpt_path,) if self.best_ckpt_path else (),
             )
         return path
@@ -213,10 +225,20 @@ class Trainer:
     def resume(self) -> bool:
         """Requeue-style resume from the newest checkpoint in out_dir
         (reference ``__load_previous_states``, ``train.py:31-49``)."""
-        path = latest_checkpoint(self.cfg.out_dir)
-        if path is None:
-            return False
-        state, meta = load_checkpoint(path, self.state)
+        if self.cfg.train.checkpoint_backend == "orbax":
+            from ..utils.orbax_ckpt import latest_orbax_checkpoint, load_checkpoint_orbax
+
+            path = latest_orbax_checkpoint(self.cfg.out_dir)
+            if path is None:
+                return False
+            # the template is the live (possibly mesh-sharded) state: orbax
+            # restores each leaf directly into that sharding
+            state, meta = load_checkpoint_orbax(path, self.state)
+        else:
+            path = latest_checkpoint(self.cfg.out_dir)
+            if path is None:
+                return False
+            state, meta = load_checkpoint(path, self.state)
         if self.mesh is not None:
             from ..parallel.mesh import shard_train_state
 

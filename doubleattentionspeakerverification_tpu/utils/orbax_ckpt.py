@@ -1,0 +1,103 @@
+"""Orbax checkpoint backend (sharded, multi-host).
+
+The default ``.npz`` backend (``utils.checkpoint``) gathers every array to
+one host — fine single-host, wasteful on a pod where the AM-Softmax W and
+its Adam moments are sharded over ``'model'``. This backend writes through
+Orbax: every host persists only the shards it owns, restore re-shards to
+the live mesh, and directory finalization is atomic (a crashed save is
+invisible to ``latest``).
+
+Selected with ``TrainConfig.checkpoint_backend='orbax'``; the reference has
+no analogue (its ``torch.save`` is single-file, ``scripts/utils.py:23-40``).
+A checkpoint is a directory ``<name>_<step>.orbax/`` containing the Orbax
+pytree plus a ``meta.json`` (same meta dict as the npz backend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+
+def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
+    """Write ``tree`` to the directory ``path`` (should end in ``.orbax``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_checkpoint_orbax(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a pytree with ``template``'s structure (and shardings, if its
+    leaves are sharded jax.Arrays) plus the meta dict."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    tree = ckptr.restore(path, abstract)
+    ckptr.close()
+    meta_path = os.path.join(path, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+_STEP_RE = re.compile(r"_(\d+)\.orbax$")
+
+
+def latest_orbax_checkpoint(out_dir: str) -> Optional[str]:
+    if not os.path.isdir(out_dir):
+        return None
+    best, best_key = None, None
+    for fname in os.listdir(out_dir):
+        full = os.path.join(out_dir, fname)
+        m = _STEP_RE.search(fname)
+        if m is None or not os.path.isdir(full):
+            continue
+        if not os.path.exists(os.path.join(full, "meta.json")):
+            continue  # unfinished save
+        key = (int(m.group(1)), os.path.getctime(full))
+        if best_key is None or key > best_key:
+            best, best_key = full, key
+    return best
+
+
+def prune_orbax_checkpoints(
+    out_dir: str, model_name: str, keep: int, protect: Tuple[str, ...] = ()
+) -> None:
+    """Keep the newest ``keep`` periodic ``.orbax`` dirs; never best ones."""
+    import shutil
+
+    if keep <= 0 or not os.path.isdir(out_dir):
+        return
+    entries = []
+    for fname in os.listdir(out_dir):
+        full = os.path.join(out_dir, fname)
+        m = _STEP_RE.search(fname)
+        if (
+            m is None
+            or not fname.startswith(model_name)
+            or not os.path.isdir(full)
+            or "_best_" in fname
+            or full in protect
+            or os.path.abspath(full) in protect
+        ):
+            continue
+        entries.append((int(m.group(1)), full))
+    entries.sort()
+    if len(entries) > keep:
+        for _, full in entries[:-keep]:
+            shutil.rmtree(full, ignore_errors=True)

@@ -548,3 +548,62 @@ def test_resume_restores_best_ckpt_path(tmp_path):
     t2 = Trainer(cfg)
     assert t2.resume()
     assert t2.best_ckpt_path == t1.best_ckpt_path
+
+
+# --------------------------------------------------------------- orbax backend
+def test_orbax_roundtrip_sharded_state(tmp_path):
+    """Sharded train state round-trips through the orbax backend, restoring
+    directly into the mesh sharding given by the template."""
+    from doubleattentionspeakerverification_tpu.config import MeshConfig
+    from doubleattentionspeakerverification_tpu.parallel.mesh import (
+        make_mesh,
+        shard_train_state,
+    )
+    from doubleattentionspeakerverification_tpu.utils.orbax_ckpt import (
+        latest_orbax_checkpoint,
+        load_checkpoint_orbax,
+        prune_orbax_checkpoints,
+        save_checkpoint_orbax,
+    )
+    import dataclasses
+
+    cfg = _tiny_cfg(tmp_path, n_spk=8)
+    cfg = dataclasses.replace(cfg, mesh=MeshConfig(model_axis=2))
+    mesh = make_mesh(cfg.mesh)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = shard_train_state(init_train_state(params, ms, cfg), mesh)
+
+    out = str(tmp_path / "ck")
+    p1 = save_checkpoint_orbax(f"{out}/m_2.orbax", state, {"step": 2})
+    save_checkpoint_orbax(f"{out}/m_5.orbax", state, {"step": 5})
+    assert latest_orbax_checkpoint(out) == os.path.abspath(f"{out}/m_5.orbax")
+
+    restored, meta = load_checkpoint_orbax(p1, state)
+    assert meta["step"] == 2
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if hasattr(a, "sharding"):
+            assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
+
+    # prune keeps the newest, never best dirs
+    save_checkpoint_orbax(f"{out}/m_best_3.orbax", state, {"step": 3})
+    save_checkpoint_orbax(f"{out}/m_7.orbax", state, {"step": 7})
+    prune_orbax_checkpoints(out, "m", keep=1)
+    left = sorted(os.listdir(out))
+    assert left == ["m_7.orbax", "m_best_3.orbax"]
+
+
+def test_trainer_orbax_backend_resume(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(
+        tmp_path, checkpoint_every=1, max_epochs=1, checkpoint_backend="orbax"
+    )
+    t1 = Trainer(cfg)
+    t1.train()
+    steps = int(t1.state.step)
+    assert steps > 0
+    t2 = Trainer(cfg)
+    assert t2.resume()
+    assert int(t2.state.step) == steps
+    for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
