@@ -123,6 +123,9 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--early_stopping", type=int, default=25)
     parser.add_argument("--print_every", type=int, default=1000)
     parser.add_argument("--requeue", action="store_true")
+    parser.add_argument("--resume_step", type=int, default=None,
+                        help="resume from the checkpoint at this exact "
+                             "optimizer step instead of the newest")
     parser.add_argument("--validate_every", type=int, default=10000)
     parser.add_argument("--num_workers", type=int, default=2)
     # TPU-native extensions
@@ -162,7 +165,11 @@ def main(argv=None) -> int:
 
     logger = MetricLogger(jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"))
     trainer = Trainer(cfg, logger=logger)
-    if params.requeue:
+    if params.resume_step is not None:
+        if not trainer.resume(step=params.resume_step):
+            print(f"no checkpoint at step {params.resume_step} in {cfg.out_dir}")
+            return 1
+    elif params.requeue:
         trainer.resume()
     trainer.train()
     return 0

@@ -222,20 +222,28 @@ class Trainer:
             )
         return path
 
-    def resume(self) -> bool:
-        """Requeue-style resume from the newest checkpoint in out_dir
-        (reference ``__load_previous_states``, ``train.py:31-49``)."""
+    def resume(self, step: Optional[int] = None) -> bool:
+        """Requeue-style resume (reference ``__load_previous_states``,
+        ``train.py:31-49``) — newest checkpoint by default, or the one at an
+        explicit optimizer ``step`` (the reference can only take the newest,
+        which after its best-only saving means the last *best*)."""
         if self.cfg.train.checkpoint_backend == "orbax":
             from ..utils.orbax_ckpt import latest_orbax_checkpoint, load_checkpoint_orbax
 
-            path = latest_orbax_checkpoint(self.cfg.out_dir)
+            if step is None:
+                path = latest_orbax_checkpoint(self.cfg.out_dir)
+            else:
+                path = self._find_step_checkpoint(step, ".orbax")
             if path is None:
                 return False
             # the template is the live (possibly mesh-sharded) state: orbax
             # restores each leaf directly into that sharding
             state, meta = load_checkpoint_orbax(path, self.state)
         else:
-            path = latest_checkpoint(self.cfg.out_dir)
+            if step is None:
+                path = latest_checkpoint(self.cfg.out_dir)
+            else:
+                path = self._find_step_checkpoint(step, ".npz")
             if path is None:
                 return False
             state, meta = load_checkpoint(path, self.state)
@@ -250,6 +258,14 @@ class Trainer:
         self.best_ckpt_path = meta.get("best_ckpt_path") or self.best_ckpt_path
         self.log.log("resume", path=path, step=int(self.state.step), epoch=self.starting_epoch)
         return True
+
+    def _find_step_checkpoint(self, step: int, suffix: str) -> Optional[str]:
+        if not os.path.isdir(self.cfg.out_dir):
+            return None
+        for fname in sorted(os.listdir(self.cfg.out_dir)):
+            if fname.endswith(f"_{step}{suffix}") and fname.startswith(self.model_name):
+                return os.path.join(self.cfg.out_dir, fname)
+        return None
 
     # ----------------------------------------------------------------- train
     def _halve_lr_if_stagnant(self) -> None:

@@ -171,8 +171,6 @@ def test_random_slicing_buckets(tmp_path):
 
 def test_loader_output_independent_of_num_workers(tmp_path):
     """Parallel batch assembly must not change the data stream."""
-    import dataclasses
-
     from doubleattentionspeakerverification_tpu.config import DataConfig, TrainConfig
     from doubleattentionspeakerverification_tpu.data.dataset import (
         FeaturePickleSource,

@@ -607,3 +607,15 @@ def test_trainer_orbax_backend_resume(tmp_path):
     assert int(t2.state.step) == steps
     for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_by_explicit_step(tmp_path):
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, checkpoint_every=1, max_epochs=1)
+    t1 = Trainer(cfg)
+    t1.train()
+    assert int(t1.state.step) >= 2
+    t2 = Trainer(cfg)
+    assert t2.resume(step=1)
+    assert int(t2.state.step) == 1
+    assert not t2.resume(step=999)  # step with no checkpoint -> False
