@@ -31,8 +31,20 @@ def load_model(checkpoint_path: str):
 
         params, state, cfg, _epoch, _step = load_torch_checkpoint(checkpoint_path)
         return params, state, cfg
-    # ours: restore into a freshly-initialized template of the saved config
     import json
+    import os
+
+    if checkpoint_path.rstrip("/").endswith(".orbax"):
+        from ..utils.orbax_ckpt import load_checkpoint_orbax
+
+        with open(os.path.join(checkpoint_path, "meta.json")) as f:
+            meta = json.load(f)
+        cfg = ExperimentConfig.from_dict(meta["config"])
+        p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+        template = init_train_state(p0, ms0, cfg)
+        state, _ = load_checkpoint_orbax(checkpoint_path, template)
+        return state.params, state.model_state, cfg
+    # ours (.npz): restore into a freshly-initialized template of the saved config
     import numpy as _np
 
     with _np.load(checkpoint_path) as z:

@@ -190,3 +190,46 @@ def test_reference_dead_flags_and_criterion_accepted():
 
     p = make_parser().parse_args(["--data_mode", "normal", "--criterion", "focal"])
     assert p.data_mode == "normal" and p.criterion == "focal"
+
+
+def test_get_embedding_from_orbax_checkpoint(tmp_path):
+    """The embedding CLI loads .orbax checkpoint directories."""
+    import jax
+
+    from doubleattentionspeakerverification_tpu.cli.get_embedding import (
+        embed_wav,
+        load_model,
+    )
+    from doubleattentionspeakerverification_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import init_train_state
+    from doubleattentionspeakerverification_tpu.utils.orbax_ckpt import (
+        save_checkpoint_orbax,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=24, num_spkrs=4),
+        train=TrainConfig(),
+        data=DataConfig(),
+    )
+    p, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(p, ms, cfg)
+    ck = str(tmp_path / "m_3.orbax")
+    save_checkpoint_orbax(ck, state, {"config": cfg.to_dict(), "step": 3})
+
+    params, model_state, loaded_cfg = load_model(ck)
+    assert loaded_cfg.model.embedding_size == 24
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = str(tmp_path / "probe.wav")
+    write_wav(wav, 0.2 * np.sin(2 * np.pi * 300 * t), sr)
+    emb = embed_wav(wav, params, model_state, loaded_cfg)
+    assert emb.shape == (24,) and np.isfinite(emb).all()
