@@ -120,9 +120,13 @@ def main():
         return scalar_of(e)
 
     timed_chain(one_embed, 1)
-    e_a = timed_chain(one_embed, k1)
-    e_b = timed_chain(one_embed, k2)
-    embed_time = max(1e-9, (e_b - e_a) / (k2 - k1))
+    # longer chains than the train section: embed steps are ~2x faster, so
+    # the same chain lengths leave the latency-corrected difference noisier
+    # (run-to-run spread of 20-30% was observed on the relay at 4/16)
+    ek1, ek2 = 8, 40
+    e_a = timed_chain(one_embed, ek1)
+    e_b = timed_chain(one_embed, ek2)
+    embed_time = max(1e-9, (e_b - e_a) / (ek2 - ek1))
     embed_audio = (eb * (et / 100.0)) / embed_time
 
     # ---- end-to-end train: fresh host batches each step, bf16 transfer
