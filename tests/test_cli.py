@@ -233,3 +233,52 @@ def test_get_embedding_from_orbax_checkpoint(tmp_path):
     write_wav(wav, 0.2 * np.sin(2 * np.pi * 300 * t), sr)
     emb = embed_wav(wav, params, model_state, loaded_cfg)
     assert emb.shape == (24,) and np.isfinite(emb).all()
+
+
+def test_score_trials_cli(tmp_path):
+    import pickle as pkl
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.cli.score_trials import main as score_main
+    from doubleattentionspeakerverification_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import init_train_state
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4),
+        train=TrainConfig(),
+        data=DataConfig(),
+    )
+    p, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    ck = str(tmp_path / "m_1.npz")
+    save_checkpoint(ck, init_train_state(p, ms, cfg), {"config": cfg.to_dict()})
+
+    rng = np.random.default_rng(0)
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    for u in ("a", "b", "c"):
+        with open(feats / f"{u}.pickle", "wb") as f:
+            pkl.dump(rng.standard_normal((80, 70)).astype(np.float32), f)
+    (tmp_path / "cl.ndx").write_text("a b\n")
+    (tmp_path / "im.ndx").write_text("a c\n")
+
+    out = str(tmp_path / "scores.txt")
+    rc = score_main([
+        "--modelCheckpoint", ck, "--data_dir", str(feats),
+        "--clients", str(tmp_path / "cl.ndx"), "--impostors", str(tmp_path / "im.ndx"),
+        "--output", out,
+    ])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split()[3] == "target" and lines[1].split()[3] == "nontarget"
+    assert all(-1.0 <= float(l.split()[2]) <= 1.0 for l in lines)
