@@ -20,15 +20,24 @@ import numpy as np
 
 from ..config import FeatureConfig
 from ..data.wav import read_wav
-from ..dsp.features import log_mel_spectrogram
+from ..dsp.features import log_mel_spectrogram, make_bucketed_logmel
 
 
-def extract_file(audio_path: str, cfg: FeatureConfig) -> np.ndarray:
-    """wav -> raw (n_mels, T) log-mel, reference ``mfsc`` layout."""
+def extract_file(audio_path: str, cfg: FeatureConfig, extractor=None) -> np.ndarray:
+    """wav -> raw (n_mels, T) log-mel, reference ``mfsc`` layout.
+
+    ``extractor`` (from ``make_bucketed_logmel``) runs one compiled XLA
+    program per length bucket; without it the mel chain dispatches eagerly
+    op-by-op (fine for a file, slow for a corpus).
+    """
     wave, sr = read_wav(audio_path)
     if sr != cfg.sample_rate:
         raise ValueError(f"{audio_path}: sample rate {sr} != {cfg.sample_rate}")
-    feats = np.asarray(log_mel_spectrogram(wave.astype(np.float32), cfg))
+    wave = wave.astype(np.float32)
+    if extractor is not None:
+        feats = extractor(wave)
+    else:
+        feats = np.asarray(log_mel_spectrogram(wave, cfg))
     return feats.T  # (T, 80) -> (80, T) on-disk layout
 
 
@@ -39,16 +48,24 @@ def main(argv=None) -> int:
     parser.add_argument("--audioFilesList", "-i", type=str, required=True,
                         help="text file with one wav path per line")
     parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--bucket_seconds", type=float, default=2.0,
+                        help="pad waves to this grid: one XLA compilation "
+                             "per bucket instead of one per file length")
+    parser.add_argument("--use_pallas_dsp", action="store_true",
+                        help="fused Pallas log-mel kernel (TPU)")
     params = parser.parse_args(argv)
 
     cfg = FeatureConfig(sample_rate=params.sample_rate)
+    extractor = make_bucketed_logmel(
+        cfg, bucket_seconds=params.bucket_seconds, use_pallas=params.use_pallas_dsp
+    )
     with open(params.audioFilesList, "r") as files:
         for line in files:
             path = line.strip()
             if not path:
                 continue
             print(path)
-            feats = extract_file(path, cfg)
+            feats = extract_file(path, cfg, extractor)
             base = path[:-4] if path.endswith(".wav") else path
             with open(f"{base}.pickle", "wb") as handle:
                 pickle.dump(feats, handle)

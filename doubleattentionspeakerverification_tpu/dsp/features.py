@@ -135,3 +135,34 @@ def extract_normalized(
     ``featureExtractor.py:25-33``)."""
     feats = log_mel_spectrogram(wave, cfg)
     return normalize_features(feats, mode)
+
+
+def make_bucketed_logmel(
+    cfg: FeatureConfig, bucket_seconds: float = 2.0, use_pallas: bool = False
+):
+    """Host-callable ``wave (N,) float32 -> raw (T, n_mels) np.ndarray``.
+
+    Waves are zero-padded up to a ``bucket_seconds`` grid so XLA compiles one
+    program per bucket instead of one per distinct length (the difference
+    between seconds and hours over a corpus of variable-length files); the
+    padded tail frames are sliced off. ``use_pallas`` switches to the fused
+    TPU kernel (``ops.logmel_pallas``).
+    """
+    cache: dict = {}
+
+    def extract(wave: np.ndarray) -> np.ndarray:
+        n = int(wave.shape[0])
+        bucket = max(1, int(bucket_seconds * cfg.sample_rate))
+        padded_n = max(cfg.n_fft, -(-n // bucket) * bucket)
+        if padded_n not in cache:
+            if use_pallas:
+                from ..ops.logmel_pallas import log_mel_spectrogram_pallas
+
+                cache[padded_n] = jax.jit(lambda w: log_mel_spectrogram_pallas(w, cfg))
+            else:
+                cache[padded_n] = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
+        padded = np.zeros((padded_n,), np.float32)
+        padded[:n] = wave
+        return np.asarray(cache[padded_n](padded))[: num_frames(n, cfg)]
+
+    return extract

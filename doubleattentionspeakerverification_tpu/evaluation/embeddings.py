@@ -50,14 +50,12 @@ def wav_feature_loader(
     DSP compiles once per bucket instead of once per utterance length; the
     padded tail frames are sliced off before normalization.
     """
-    import jax
-
     from ..config import FeatureConfig
     from ..data.wav import read_wav
-    from ..dsp.features import log_mel_spectrogram, num_frames
+    from ..dsp.features import make_bucketed_logmel
 
     feat_cfg = feat_cfg or FeatureConfig()
-    jit_cache = {}
+    extractors = {}
 
     def load(utt_id: str) -> np.ndarray:
         path = f"{data_dir}/{utt_id}"
@@ -65,14 +63,9 @@ def wav_feature_loader(
             path += ".wav"
         wave, sr = read_wav(path)
         cfg = feat_cfg if sr == feat_cfg.sample_rate else FeatureConfig(sample_rate=sr)
-        n = wave.shape[0]
-        bucket = int(bucket_seconds * cfg.sample_rate)
-        padded_n = max(cfg.n_fft, -(-n // bucket) * bucket)
-        padded = np.zeros((padded_n,), np.float32)
-        padded[:n] = wave
-        if cfg not in jit_cache:
-            jit_cache[cfg] = jax.jit(lambda w, c=cfg: log_mel_spectrogram(w, c))
-        feats = np.asarray(jit_cache[cfg](padded))[: num_frames(n, cfg)]
+        if cfg not in extractors:
+            extractors[cfg] = make_bucketed_logmel(cfg, bucket_seconds)
+        feats = extractors[cfg](wave.astype(np.float32))
         return normalize_np(feats, normalization)
 
     return load

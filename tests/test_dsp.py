@@ -156,3 +156,20 @@ def test_extract_normalized_is_cmn_of_logmel():
     expect = feats - feats.mean(axis=0)
     got = np.asarray(extract_normalized(y, CFG))
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_make_bucketed_logmel_matches_eager():
+    from doubleattentionspeakerverification_tpu.dsp.features import (
+        log_mel_spectrogram,
+        make_bucketed_logmel,
+    )
+
+    cfg = FeatureConfig()
+    extract = make_bucketed_logmel(cfg, bucket_seconds=0.5)
+    rng = np.random.default_rng(0)
+    for n in (7000, 16000, 16001, 40000):
+        wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        got = extract(wave)
+        ref = np.asarray(log_mel_spectrogram(wave, cfg))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-6)
