@@ -22,11 +22,11 @@ import sys
 import numpy as np
 
 from ..data.manifest import load_trials
-from ..evaluation.eer import eer_exact, eer_reference, min_dcf
 from ..evaluation.embeddings import (
     EmbeddingExtractor,
     pickle_feature_loader,
     score_trials,
+    validate_eer,
     wav_feature_loader,
 )
 from .get_embedding import load_model
@@ -49,6 +49,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=8)
     args = p.parse_args(argv)
 
+    if (args.clients is None) != (args.impostors is None):
+        p.error("--clients and --impostors must be given together")
     if args.trials is None and args.clients is None:
         p.error("give --trials, or --clients/--impostors")
 
@@ -79,13 +81,10 @@ def main(argv=None) -> int:
                 out.write(f"{a} {b} {s:.6f} target\n")
             for (a, b), s in zip(im_trials, im):
                 out.write(f"{a} {b} {s:.6f} nontarget\n")
-            summary.update(
-                eer=eer_reference(cl, im),
-                eer_exact=eer_exact(cl, im),
-                min_dcf=min_dcf(cl, im),
-                n_clients=len(cl_trials),
-                n_impostors=len(im_trials),
-            )
+            # same metric assembly as training validation (embeddings cached,
+            # so this recomputes only the cosines)
+            summary.update(validate_eer(extractor, cl_trials, im_trials))
+            summary.update(n_clients=len(cl_trials), n_impostors=len(im_trials))
         print(" ".join(f"{k}={v}" for k, v in summary.items()), file=sys.stderr)
     finally:
         if out is not sys.stdout:

@@ -148,21 +148,20 @@ def make_bucketed_logmel(
     padded tail frames are sliced off. ``use_pallas`` switches to the fused
     TPU kernel (``ops.logmel_pallas``).
     """
-    cache: dict = {}
+    if use_pallas:
+        from ..ops.logmel_pallas import log_mel_spectrogram_pallas
+
+        fn = jax.jit(lambda w: log_mel_spectrogram_pallas(w, cfg))
+    else:
+        fn = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
 
     def extract(wave: np.ndarray) -> np.ndarray:
         n = int(wave.shape[0])
         bucket = max(1, int(bucket_seconds * cfg.sample_rate))
         padded_n = max(cfg.n_fft, -(-n // bucket) * bucket)
-        if padded_n not in cache:
-            if use_pallas:
-                from ..ops.logmel_pallas import log_mel_spectrogram_pallas
-
-                cache[padded_n] = jax.jit(lambda w: log_mel_spectrogram_pallas(w, cfg))
-            else:
-                cache[padded_n] = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
         padded = np.zeros((padded_n,), np.float32)
         padded[:n] = wave
-        return np.asarray(cache[padded_n](padded))[: num_frames(n, cfg)]
+        # jit caches one executable per padded length, i.e. per bucket
+        return np.asarray(fn(padded))[: num_frames(n, cfg)]
 
     return extract

@@ -194,6 +194,7 @@ def test_reference_dead_flags_and_criterion_accepted():
 
 def test_get_embedding_from_orbax_checkpoint(tmp_path):
     """The embedding CLI loads .orbax checkpoint directories."""
+    pytest.importorskip("orbax.checkpoint")
     import jax
 
     from doubleattentionspeakerverification_tpu.cli.get_embedding import (

@@ -554,6 +554,7 @@ def test_resume_restores_best_ckpt_path(tmp_path):
 def test_orbax_roundtrip_sharded_state(tmp_path):
     """Sharded train state round-trips through the orbax backend, restoring
     directly into the mesh sharding given by the template."""
+    pytest.importorskip("orbax.checkpoint")
     from doubleattentionspeakerverification_tpu.config import MeshConfig
     from doubleattentionspeakerverification_tpu.parallel.mesh import (
         make_mesh,
@@ -594,6 +595,7 @@ def test_orbax_roundtrip_sharded_state(tmp_path):
 
 
 def test_trainer_orbax_backend_resume(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
     _make_dataset(tmp_path)
     cfg = _tiny_cfg(
         tmp_path, checkpoint_every=1, max_epochs=1, checkpoint_backend="orbax"

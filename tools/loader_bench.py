@@ -62,10 +62,13 @@ def run(loader, n_steps: int) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=30,
+                    help="batches per measurement (first one excluded)")
     ap.add_argument("--mode", default="features", choices=["features", "wav", "both"])
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     args = ap.parse_args()
+    if args.steps < 2:
+        ap.error("--steps must be >= 2 (the first batch is warm-up)")
 
     from doubleattentionspeakerverification_tpu.config import (
         DataConfig,

@@ -47,9 +47,13 @@ def _pin_cpu(n: int) -> None:
 
 
 def collective_counts(hlo_text: str) -> dict:
+    """Count collective instruction DEFINITIONS (opcode followed by its
+    operand list). A bare word count over-reports 2-4x: the op name also
+    appears in the instruction's own name (%all-reduce.2) and in every
+    operand reference to it."""
     out = {}
     for op in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute", "all-to-all"):
-        n = len(re.findall(rf"\b{op}(?:-start)?\b(?! *-done)", hlo_text))
+        n = len(re.findall(rf"(?<!%){op}(?:-start)?\(", hlo_text))
         if n:
             out[op] = n
     return out
