@@ -63,6 +63,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             checkpoint_backend=params.checkpoint_backend,
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
+            device_prefetch=params.device_prefetch,
             assume_full_lengths=params.assume_full_lengths,
         ),
         data=DataConfig(
@@ -145,6 +146,10 @@ def make_parser() -> argparse.ArgumentParser:
                         help="'orbax' writes sharded checkpoint dirs (each "
                              "host persists only its own shards)")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--device_prefetch", type=int, default=0,
+                        help="batches pushed to the device by a background "
+                             "thread; set >0 on backends whose device_put "
+                             "blocks (overlaps host->device copy with compute)")
     parser.add_argument("--transfer_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "int16"],
                         help="host->device batch payload dtype (bfloat16 for "
@@ -156,6 +161,24 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # persistent compilation cache: repeat runs of the same config skip the
+    # multi-minute flagship-step compile (honored where the backend supports
+    # it; JAX_COMPILATION_CACHE_DIR overrides the location)
+    import jax as _jax
+
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "JAX_COMPILATION_CACHE_DIR",
+                    os.path.join(os.path.expanduser("~"), ".cache", "dmha_jax_cache"),
+                ),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     params = make_parser().parse_args(argv)
     cfg = build_config(params)
     os.makedirs(cfg.out_dir, exist_ok=True)
