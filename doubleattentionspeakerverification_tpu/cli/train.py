@@ -161,6 +161,17 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # diagnosability: SIGUSR1 dumps all thread stacks to stderr (pairs with
+    # the stall watchdog — a hung run can be inspected without killing it)
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.enable()
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except Exception:
+        pass
+
     # persistent compilation cache: repeat runs of the same config skip the
     # multi-minute flagship-step compile (honored where the backend supports
     # it; JAX_COMPILATION_CACHE_DIR overrides the location)
