@@ -27,8 +27,9 @@ def device_prefetch(
         for b in batches:
             if shardings is not None:
                 b = jax.device_put(b, {k: shardings[k] for k in b})
-            else:
-                b = jax.device_put(b)
+            # single device: hand the HOST batch to jit — its argument
+            # transfer pipelines with in-flight execution, while an explicit
+            # device_put serializes (measured +110 ms/step on the relay)
             yield b
         return
 
