@@ -64,6 +64,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
             device_prefetch=params.device_prefetch,
+            stall_exit_s=params.stall_exit_s,
             assume_full_lengths=params.assume_full_lengths,
         ),
         data=DataConfig(
@@ -146,6 +147,10 @@ def make_parser() -> argparse.ArgumentParser:
                         help="'orbax' writes sharded checkpoint dirs (each "
                              "host persists only its own shards)")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--stall_exit_s", type=float, default=0.0,
+                        help="exit(17) after this many seconds without a "
+                             "completed step (0=log only); pair with "
+                             "--requeue under a restarting scheduler")
     parser.add_argument("--device_prefetch", type=int, default=0,
                         help="batches pushed to the device by a background "
                              "thread; set >0 on backends whose device_put "

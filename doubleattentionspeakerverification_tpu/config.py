@@ -125,6 +125,11 @@ class TrainConfig:
     # 'npz' (single-file, host-gathered) or 'orbax' (sharded directory —
     # every host writes only the shards it owns; use on multi-host meshes)
     checkpoint_backend: str = "npz"
+    # Failure recovery: 0 = the stall watchdog only logs; >0 = after this
+    # many seconds without a completed step, dump all thread stacks and
+    # _exit(17) so a requeue wrapper (slurm --requeue + --requeue flag here)
+    # restarts from the newest checkpoint instead of hanging forever.
+    stall_exit_s: float = 0.0
     # Static promise that every training window is full-length (all files
     # >= window_size seconds): drops the masking ops from the compiled step
     # (~3.5% faster). The loader verifies the promise per batch.

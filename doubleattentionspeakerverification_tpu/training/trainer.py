@@ -287,9 +287,31 @@ class Trainer:
 
         from ..utils.watchdog import Watchdog
 
+        stall_since = {"step": None, "t0": 0.0}
+
+        def on_stall(age: float, last: int) -> None:
+            # the watchdog resets its beat after each report (anti-spam), so
+            # accumulate no-progress time per stuck step ourselves
+            now = time.monotonic()
+            if stall_since["step"] != last:
+                stall_since["step"] = last
+                stall_since["t0"] = now - age
+            total = now - stall_since["t0"]
+            self.log.log("stall", age_s=round(total, 1), last_step=last)
+            if cfg.train.stall_exit_s > 0 and total >= cfg.train.stall_exit_s:
+                import faulthandler
+                import sys as _sys
+
+                self.log.log("stall_exit", age_s=round(total, 1), last_step=last)
+                try:  # stacks of every thread, for the post-mortem
+                    faulthandler.dump_traceback(file=_sys.stderr, all_threads=True)
+                except Exception:
+                    pass
+                os._exit(17)  # a wedged backend call cannot be unwound cleanly
+
         watchdog = Watchdog(
-            timeout_s=600.0,
-            on_stall=lambda age, step: self.log.log("stall", age_s=age, last_step=step),
+            timeout_s=min(600.0, cfg.train.stall_exit_s) if cfg.train.stall_exit_s > 0 else 600.0,
+            on_stall=on_stall,
         ).start()
 
         self.log.log("start_training", model=self.model_name,

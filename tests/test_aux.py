@@ -191,3 +191,64 @@ def test_long_utterance_embedding_finite():
     # the short item must match its unpadded forward exactly
     e_short = np.asarray(get_embedding(params, state, x[1:2, :123], None, cfg))
     np.testing.assert_allclose(emb[1], e_short[0], atol=3e-5)
+
+
+def test_stall_exit_kills_wedged_training(tmp_path):
+    """stall_exit_s > 0: a training process whose first step never completes
+    must exit(17) (requeue-able) instead of hanging forever."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from test_data import make_synthetic_features
+
+    make_synthetic_features(str(tmp_path / "feats"), 2, 4)
+    code = textwrap.dedent(f"""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import sys; sys.path.insert(0, {repr(os.getcwd())})
+        import dataclasses
+        import numpy as np
+        from doubleattentionspeakerverification_tpu.config import (
+            DataConfig, ExperimentConfig, ModelConfig, TrainConfig)
+        from doubleattentionspeakerverification_tpu.training.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            model_name="t", out_dir={repr(str(tmp_path / 'out'))},
+            model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=2),
+            train=TrainConfig(window_size=0.5, batch_size=2, gradient_accumulation=2,
+                              validate_every=0, stall_exit_s=4.0, max_epochs=1),
+            data=DataConfig(train_data_dir={repr(str(tmp_path / 'feats'))},
+                            train_labels_path="unused"),
+        )
+        tr = Trainer.__new__(Trainer)  # skip __init__'s data loading
+        # minimal attrs for train()
+        import time, itertools
+        from doubleattentionspeakerverification_tpu.utils.logging import MetricLogger
+        from doubleattentionspeakerverification_tpu.utils.checkpoint import AsyncCheckpointer
+        tr.cfg = cfg; tr.log = MetricLogger(); tr.mesh = None
+        tr.model_name = cfg.derived_model_name()
+        tr._print_t0 = 0.0; tr._pause_s = 0.0
+        tr.best_eer = 50.0; tr.stopping = 0; tr.starting_epoch = 0; tr.epoch = 0
+        tr.best_ckpt_path = None; tr._checkpointer = AsyncCheckpointer()
+        import jax as _j
+        from doubleattentionspeakerverification_tpu.models.classifier import init_speaker_classifier
+        from doubleattentionspeakerverification_tpu.training.step import init_train_state
+        p, ms = init_speaker_classifier(_j.random.PRNGKey(0), cfg.model)
+        tr.state = init_train_state(p, ms, cfg)
+        class WedgedLoader:  # first batch never arrives
+            def steps_per_epoch(self): return 1
+            def epoch(self, e):
+                time.sleep(3600)
+                yield {{}}
+        tr.loader = WedgedLoader()
+        tr.train_step = None  # never reached
+        tr.train()
+    """)
+    # watchdog polls every 5 s: stall detected ~5 s in, exit by ~10 s
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 17, (proc.returncode, proc.stdout[-500:], proc.stderr[-500:])
+    assert "stall_exit" in proc.stdout
+    assert "Thread" in proc.stderr  # faulthandler dumped stacks
