@@ -74,6 +74,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             valid_clients=params.valid_clients,
             valid_impostors=params.valid_impostors,
             source=params.data_source,
+            host_dsp=params.host_dsp,
             num_workers=params.num_workers,
         ),
         mesh=MeshConfig(model_axis=params.model_parallel),
@@ -136,6 +137,10 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="shards of the AM-Softmax classifier over the mesh 'model' axis")
+    parser.add_argument("--host_dsp", action="store_true",
+                        help="wav mode: compute log-mel on the host (fused native C++ "
+                             "kernel when built) and ship bf16/f32 feature frames instead "
+                             "of PCM — ~2x fewer host->device bytes")
     parser.add_argument("--use_pallas_dsp", action="store_true",
                         help="fused pallas log-mel kernel for the wav path (~2x DSP)")
     parser.add_argument("--classifier_chunk", type=int, default=0,

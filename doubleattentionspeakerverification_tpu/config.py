@@ -159,6 +159,12 @@ class DataConfig:
     # 'features' -> precomputed pickles (reference pipeline parity)
     # 'wav'      -> decode wavs on host, log-mel computed on device
     source: str = "features"
+    # wav mode only: compute log-mel on the HOST (fused native C++ kernel —
+    # decode + window + FFT/mel + CMN — numpy fallback) and ship feature
+    # frames instead of PCM: ~2x fewer host->device bytes (bf16-compressible
+    # via transfer_dtype). Use when the device link, not the chip, bounds
+    # training; device DSP (default) keeps the host free instead.
+    host_dsp: bool = False
     num_workers: int = 2
     prefetch: int = 2
     use_native_loader: bool = True        # C++ wav decoder / prefetcher when built

@@ -122,6 +122,86 @@ class WavSource:
         return wins, lengths
 
 
+class HostDspWavSource:
+    """Reads wavs and computes normalized log-mel windows ON THE HOST — the
+    native C++ fused kernel (``native/logmel.cpp``: parallel decode + random
+    window + FFT/mel + CMN) when built, numpy (pocketfft) otherwise.
+
+    Emits feature batches in the same layout as :class:`FeaturePickleSource`,
+    so the jitted step runs its feature path. vs on-device DSP (`WavSource`):
+    the host->device payload is 80-mel frames instead of raw PCM —
+    ~2x fewer bytes (and bf16-compressible) — for hosts where the device
+    link, not the chip, bounds wav-mode training.
+
+    Normalization matches the device wav path (CMN/CMVN over the window's
+    valid frames), not the reference's full-utterance normalization — the
+    same deliberate deviation `WavSource` makes (windows are sampled before
+    features exist).
+    """
+
+    def __init__(self, data_dir: str, feat_cfg: FeatureConfig, window_frames: int,
+                 normalization: str = "cmn"):
+        self.data_dir = data_dir
+        self.feat_cfg = feat_cfg
+        self.normalization = normalization
+        self.window_frames = window_frames
+        self.window_samples = num_samples_for_frames(window_frames, feat_cfg)
+        self._native = None
+        try:
+            from ..utils.native import NativeLogmel
+
+            self._native = NativeLogmel(feat_cfg)
+        except Exception:
+            self._native = None
+
+    def _path(self, utt: Utterance) -> str:
+        path = f"{self.data_dir}/{utt.path}"
+        if not path.endswith(".wav"):
+            path += ".wav"
+        return path
+
+    def _logmel_normalized(self, window: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            return self._native.compute(window, self.normalization)
+        from ..dsp.features import log_mel_spectrogram_np
+
+        feats = log_mel_spectrogram_np(window, self.feat_cfg)
+        return normalize_np(feats, self.normalization)
+
+    def load(self, utt: Utterance, rng: np.random.Generator):
+        wave, _sr = read_wav(self._path(utt))
+        w = self.window_samples
+        hi = max(0, wave.shape[0] - w - 1)
+        start = int(rng.integers(0, hi + 1))
+        win = wave[start : start + min(wave.shape[0], w)].astype(np.float32)
+        feats = self._logmel_normalized(win)
+        return feats, feats.shape[0]
+
+    def load_batch(self, utts, rng: np.random.Generator):
+        """Whole-batch fused native path; per-file python fallback.
+        Returns (features (n, window_frames, n_mels), frame_lengths)."""
+        n = len(utts)
+        if self._native is None:
+            out = np.zeros((n, self.window_frames, self.feat_cfg.n_mels), np.float32)
+            lengths = np.zeros((n,), np.int64)
+            for i, u in enumerate(utts):
+                f, t = self.load(u, rng)
+                out[i, :t] = f
+                lengths[i] = t
+            return out, lengths
+        seeds = rng.integers(0, 2**63 - 1, size=n, dtype=np.uint64)
+        feats, lengths = self._native.wav_windows(
+            [self._path(u) for u in utts], self.window_samples, seeds,
+            self.normalization,
+        )
+        bad = np.where(lengths < 0)[0]
+        for i in bad:  # fall back per-file so one corrupt wav raises cleanly
+            f, t = self.load(utts[i], rng)
+            feats[i, :t] = f
+            lengths[i] = t
+        return feats, lengths
+
+
 class TrainLoader:
     """Yields microbatch groups ready for the jitted train step.
 
@@ -169,7 +249,7 @@ class TrainLoader:
             inputs = np.zeros((g * b, t_dim, self.feature_dim), np.float32)
         lengths = np.zeros((g * b,), np.int32)
         labels = np.asarray([u.label for u in utts], np.int32)
-        if self.is_wave and hasattr(self.source, "load_batch"):
+        if hasattr(self.source, "load_batch"):
             wins, lens = self.source.load_batch(utts, rng)
             inputs[:, :] = wins
             lengths[:] = lens

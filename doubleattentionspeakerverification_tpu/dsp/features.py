@@ -137,6 +137,30 @@ def extract_normalized(
     return normalize_features(feats, mode)
 
 
+def log_mel_spectrogram_np(wave: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Host (numpy) log-mel, same math as :func:`log_mel_spectrogram`.
+
+    Pure-python fallback of the native C++ host-DSP kernel
+    (``native/logmel.cpp``) — pocketfft rFFT + dense mel matmul. Used when
+    the native library is unavailable, and as a parity oracle in tests.
+    """
+    _, _, mel_t = _dft_mel_constants(cfg)
+    window = padded_stft_window(cfg.win_length, cfg.n_fft, dtype=np.float32)
+    n_fr = num_frames(wave.shape[-1], cfg)
+    if n_fr <= 0:
+        return np.zeros(wave.shape[:-1] + (0, cfg.n_mels), np.float32)
+    y = wave.astype(np.float32) * cfg.rescale
+    pre = np.concatenate(
+        [y[..., :1] * (1.0 - cfg.preemphasis), y[..., 1:] - cfg.preemphasis * y[..., :-1]],
+        axis=-1,
+    )
+    idx = np.arange(n_fr)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)[None, :]
+    frames = pre[..., idx] * window                          # (..., T, n_fft)
+    mag = np.abs(np.fft.rfft(frames, n=cfg.n_fft, axis=-1))  # (..., T, n_bins)
+    melspec = mag.astype(np.float32) @ mel_t                 # (..., T, n_mels)
+    return np.log(np.maximum(cfg.log_floor, melspec)).astype(np.float32)
+
+
 def make_bucketed_logmel(
     cfg: FeatureConfig, bucket_seconds: float = 2.0, use_pallas: bool = False
 ):

@@ -103,7 +103,15 @@ class Trainer:
         cfg = self.cfg
         manifest = load_train_manifest(cfg.data.train_labels_path)
         window_frames = int(cfg.train.window_size * 100)
-        if cfg.data.source == "wav":
+        if cfg.data.source == "wav" and cfg.data.host_dsp:
+            from ..data.dataset import HostDspWavSource
+
+            source = HostDspWavSource(
+                cfg.data.train_data_dir, cfg.features, window_frames,
+                cfg.train.normalization,
+            )
+            is_wave = False  # the step sees a feature batch
+        elif cfg.data.source == "wav":
             source = WavSource(cfg.data.train_data_dir, cfg.features, window_frames,
                                native_reader=self._native_reader())
             is_wave = True

@@ -69,6 +69,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_long),
             ctypes.c_int,
         ]
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.logmel_create.restype = ctypes.c_void_p
+        lib.logmel_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, fp, fp,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.logmel_destroy.restype = None
+        lib.logmel_destroy.argtypes = [ctypes.c_void_p]
+        lib.logmel_num_frames.restype = ctypes.c_long
+        lib.logmel_num_frames.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.logmel_compute.restype = ctypes.c_long
+        lib.logmel_compute.argtypes = [
+            ctypes.c_void_p, fp, ctypes.c_long, ctypes.c_int, ctypes.c_float, fp,
+        ]
+        lib.wav_logmel_windows.restype = None
+        lib.wav_logmel_windows.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_float,
+            fp, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -131,3 +151,97 @@ def native_read_windows(
         n_threads,
     )
     return out, lengths
+
+
+_NORM_MODES = {"none": 0, "cmn": 1, "cmvn": 2}
+
+
+class NativeLogmel:
+    """Handle to a native log-mel plan (``native/logmel.cpp``).
+
+    Same math as the on-device DSP (``dsp/features.log_mel_spectrogram``);
+    the mel filterbank and analysis window are computed in python
+    (``dsp/mel.py``) and passed in, so the filterbank exists in one place.
+    Raises RuntimeError in ``__init__`` if the native library is unavailable.
+    """
+
+    def __init__(self, feat_cfg):
+        from ..dsp.mel import mel_filterbank, padded_stft_window
+
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.cfg = feat_cfg
+        self.n_mels = feat_cfg.n_mels
+        window = np.ascontiguousarray(
+            padded_stft_window(feat_cfg.win_length, feat_cfg.n_fft, dtype=np.float32)
+        )
+        fb = np.ascontiguousarray(
+            mel_filterbank(
+                feat_cfg.sample_rate, feat_cfg.n_fft, feat_cfg.n_mels,
+                feat_cfg.fmin, feat_cfg.fmax_hz, dtype=np.float32,
+            )
+        )
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._plan = lib.logmel_create(
+            feat_cfg.n_fft, feat_cfg.hop_length, feat_cfg.n_mels,
+            window.ctypes.data_as(fp), fb.ctypes.data_as(fp),
+            feat_cfg.preemphasis, feat_cfg.rescale, feat_cfg.log_floor,
+        )
+        if not self._plan:
+            raise RuntimeError("logmel_create failed (n_fft must be a power of two)")
+
+    def __del__(self):
+        plan = getattr(self, "_plan", None)
+        if plan:
+            self._lib.logmel_destroy(plan)
+            self._plan = None
+
+    def num_frames(self, n_samples: int) -> int:
+        return int(self._lib.logmel_num_frames(self._plan, n_samples))
+
+    def compute(self, wave: np.ndarray, normalization: str = "none",
+                std_floor: float = 0.01) -> np.ndarray:
+        """wave (N,) float32 in [-1,1] -> (T, n_mels) float32 log-mel."""
+        wave = np.ascontiguousarray(wave, np.float32)
+        frames = self.num_frames(wave.shape[0])
+        out = np.empty((frames, self.n_mels), np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        got = self._lib.logmel_compute(
+            self._plan, wave.ctypes.data_as(fp), wave.shape[0],
+            _NORM_MODES[normalization], std_floor, out.ctypes.data_as(fp),
+        )
+        assert got == frames
+        return out
+
+    def wav_windows(
+        self,
+        paths: Sequence[str],
+        window_samples: int,
+        seeds: Sequence[int],
+        normalization: str = "cmn",
+        std_floor: float = 0.01,
+        n_threads: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused decode + random-window + log-mel + CMN/CMVN over a batch.
+
+        Returns (features (n, max_frames, n_mels) float32 zero-padded,
+        frame_lengths (n,) int64; -1 marks a failed read).
+        """
+        n = len(paths)
+        blob = b"".join(p.encode() + b"\x00" for p in paths)
+        max_frames = self.num_frames(window_samples)
+        out = np.empty((n, max_frames, self.n_mels), np.float32)
+        lengths = np.empty((n,), np.int64)
+        seeds_arr = np.asarray(list(seeds), np.uint64)
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._lib.wav_logmel_windows(
+            self._plan, blob, n, window_samples,
+            seeds_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            _NORM_MODES[normalization], std_floor,
+            out.ctypes.data_as(fp),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            n_threads,
+        )
+        return out, lengths
