@@ -53,12 +53,21 @@ def main(argv=None) -> int:
                              "per bucket instead of one per file length")
     parser.add_argument("--use_pallas_dsp", action="store_true",
                         help="fused Pallas log-mel kernel (TPU)")
+    parser.add_argument("--host_dsp", action="store_true",
+                        help="native C++ log-mel kernel on the host — no "
+                             "accelerator or XLA compile needed (CPU-only boxes)")
     params = parser.parse_args(argv)
 
     cfg = FeatureConfig(sample_rate=params.sample_rate)
-    extractor = make_bucketed_logmel(
-        cfg, bucket_seconds=params.bucket_seconds, use_pallas=params.use_pallas_dsp
-    )
+    if params.host_dsp:
+        from ..utils.native import NativeLogmel
+
+        native = NativeLogmel(cfg)  # raises if no C++ toolchain
+        extractor = native.compute
+    else:
+        extractor = make_bucketed_logmel(
+            cfg, bucket_seconds=params.bucket_seconds, use_pallas=params.use_pallas_dsp
+        )
     with open(params.audioFilesList, "r") as files:
         for line in files:
             path = line.strip()

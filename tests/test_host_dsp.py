@@ -139,6 +139,31 @@ def test_host_dsp_matches_device_wav_path(tmp_path):
     np.testing.assert_allclose(feats, np.asarray(dev_feats[0]), atol=2e-3)
 
 
+def test_extract_features_cli_host_dsp(tmp_path, native_logmel):
+    """`extract_features --host_dsp` writes reference-format pickles that
+    match the default (jitted XLA) extraction path."""
+    import pickle
+
+    from doubleattentionspeakerverification_tpu.cli.extract_features import (
+        main as extract_main,
+    )
+
+    wav_a = tmp_path / "a.wav"
+    write_wav(str(wav_a), _wave(0.8, seed=7), FEAT.sample_rate)
+    lst = tmp_path / "files.lst"
+    lst.write_text(str(wav_a) + "\n")
+
+    assert extract_main(["-i", str(lst), "--host_dsp"]) == 0
+    with open(str(tmp_path / "a.pickle"), "rb") as f:
+        host = pickle.load(f)
+
+    assert extract_main(["-i", str(lst)]) == 0  # overwrites with the XLA path
+    with open(str(tmp_path / "a.pickle"), "rb") as f:
+        xla = pickle.load(f)
+    assert host.shape == xla.shape and host.shape[0] == FEAT.n_mels
+    np.testing.assert_allclose(host, xla, atol=5e-4)
+
+
 def test_host_dsp_train_loader_and_step(tmp_path):
     """End-to-end: HostDspWavSource through TrainLoader into the jitted
     train step — feature-path batch layout, finite loss."""

@@ -64,7 +64,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30,
                     help="batches per measurement (first one excluded)")
-    ap.add_argument("--mode", default="features", choices=["features", "wav", "both"])
+    ap.add_argument("--mode", default="features",
+                    choices=["features", "wav", "wav_host_dsp", "both", "all"])
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     args = ap.parse_args()
     if args.steps < 2:
@@ -77,6 +78,7 @@ def main() -> int:
     )
     from doubleattentionspeakerverification_tpu.data.dataset import (
         FeaturePickleSource,
+        HostDspWavSource,
         TrainLoader,
         WavSource,
     )
@@ -87,13 +89,20 @@ def main() -> int:
     audio_s_per_batch = tc.batch_size * tc.gradient_accumulation * tc.window_size
     n_utts = args.steps * tc.batch_size * tc.gradient_accumulation
 
-    modes = ["features", "wav"] if args.mode == "both" else [args.mode]
+    modes = {
+        "both": ["features", "wav"],
+        "all": ["features", "wav", "wav_host_dsp"],
+    }.get(args.mode, [args.mode])
     with tempfile.TemporaryDirectory() as tmp:
         for mode in modes:
             root = os.path.join(tmp, mode)
             if mode == "features":
                 manifest = parse_train_manifest(make_features(root, n_utts, 500))
                 source = FeaturePickleSource(root, "cmn", window)
+                is_wave = False
+            elif mode == "wav_host_dsp":
+                manifest = parse_train_manifest(make_wavs(root, n_utts, 5.0))
+                source = HostDspWavSource(root, FeatureConfig(), window)
                 is_wave = False
             else:
                 manifest = parse_train_manifest(make_wavs(root, n_utts, 5.0))
