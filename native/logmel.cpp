@@ -47,6 +47,7 @@ struct LogmelPlan {
   float preemph = 0.f;
   float rescale = 1.f;
   float log_floor = 1.f;
+  bool fast_log = true;   // polynomial log; false (log_floor <= 0) -> libm
   std::vector<float> window;    // n_fft (win_length Hamming, zero-padded)
   std::vector<Sparse> mel;      // per mel bin
   // FFT tables for the size-`half` complex FFT
@@ -84,79 +85,160 @@ void build_fft_tables(LogmelPlan& p) {
   }
 }
 
-// In-place iterative radix-2 DIT complex FFT over (re, im), size plan.half.
-void cfft(const LogmelPlan& p, float* re, float* im) {
+// Frames are processed in blocks of VL, with the frame index as the
+// innermost (contiguous, unit-stride) dimension — every FFT butterfly,
+// untangle step and mel accumulation below is a straight-line loop over VL
+// adjacent floats, which the compiler turns into SIMD across frames. The
+// working set of one block (2 x half x VL complex + bins x VL magnitudes
+// ~ 24 KB at n_fft=512) stays in L1.
+constexpr int VL = 8;
+
+// Branchless float log (frexp-style exponent split + minimax polynomial for
+// log(m) on [sqrt(1/2), sqrt(2))), ~1 ulp — the libm call is the one thing
+// in the mel loop the compiler cannot vectorize, and it costs ~20% of the
+// kernel. Valid for normal positive x, which log(max(log_floor>0, mel))
+// guarantees; logmel_create falls back to libm when log_floor <= 0.
+inline float fast_logf(float x) {
+  union {
+    float f;
+    uint32_t i;
+  } u = {x};
+  int e = (int)((u.i >> 23) & 0xFF) - 126;          // x = m * 2^e, m in [0.5,1)
+  u.i = (u.i & 0x007FFFFFu) | 0x3F000000u;
+  float m = u.f;
+  const int low = m < 0.70710678f;                  // fold into [sqrt(.5),sqrt(2))
+  e -= low;
+  m += low ? m : 0.0f;
+  m -= 1.0f;
+  const float z = m * m;
+  float p = 7.0376836292e-2f;
+  p = p * m + -1.1514610310e-1f;
+  p = p * m + 1.1676998740e-1f;
+  p = p * m + -1.2420140846e-1f;
+  p = p * m + 1.4249322787e-1f;
+  p = p * m + -1.6668057665e-1f;
+  p = p * m + 2.0000714765e-1f;
+  p = p * m + -2.4999993993e-1f;
+  p = p * m + 3.3333331174e-1f;
+  p = p * m * z;
+  const float fe = (float)e;
+  p += fe * -2.12194440e-4f;
+  p -= 0.5f * z;
+  return m + p + fe * 0.693359375f;
+}
+
+// In-place radix-2 DIT complex FFT over VL interleaved sequences:
+// element k of sequence `lane` lives at (re|im)[k*VL + lane].
+void cfft_block(const LogmelPlan& p, float* re, float* im) {
   const int m = p.half;
-  // bit-reversal permutation
   for (int i = 0; i < m; i++) {
     int j = p.bitrev[i];
     if (j > i) {
-      std::swap(re[i], re[j]);
-      std::swap(im[i], im[j]);
+      for (int l = 0; l < VL; l++) {
+        std::swap(re[i * VL + l], re[j * VL + l]);
+        std::swap(im[i * VL + l], im[j * VL + l]);
+      }
     }
   }
   size_t tw_off = 0;
   for (int len = 2; len <= m; len <<= 1) {
     const int h = len / 2;
-    const float* wr = p.tw_re.data() + tw_off;
-    const float* wi = p.tw_im.data() + tw_off;
+    const float* twr = p.tw_re.data() + tw_off;
+    const float* twi = p.tw_im.data() + tw_off;
     for (int base = 0; base < m; base += len) {
       for (int j = 0; j < h; j++) {
-        const int a = base + j, b = a + h;
-        const float xr = re[b] * wr[j] - im[b] * wi[j];
-        const float xi = re[b] * wi[j] + im[b] * wr[j];
-        re[b] = re[a] - xr;
-        im[b] = im[a] - xi;
-        re[a] += xr;
-        im[a] += xi;
+        float* ra = re + (size_t)(base + j) * VL;
+        float* ia = im + (size_t)(base + j) * VL;
+        float* rb = ra + (size_t)h * VL;
+        float* ib = ia + (size_t)h * VL;
+        const float wr = twr[j], wi = twi[j];
+#pragma GCC ivdep
+        for (int l = 0; l < VL; l++) {
+          const float xr = rb[l] * wr - ib[l] * wi;
+          const float xi = rb[l] * wi + ib[l] * wr;
+          rb[l] = ra[l] - xr;
+          ib[l] = ia[l] - xi;
+          ra[l] += xr;
+          ia[l] += xi;
+        }
       }
     }
     tw_off += h;
   }
 }
 
-// Windowed frame (n_fft real samples) -> spectrum magnitudes (n_bins).
-// Real FFT via N/2 complex packing: z[k] = x[2k] + i x[2k+1].
-void frame_magnitudes(const LogmelPlan& p, const float* frame, float* zre,
-                      float* zim, float* mag) {
+// VL windowed frames starting at frame t0 -> magnitudes (n_bins x VL).
+// Real FFT via N/2 complex packing: z[k] = x[2k] + i x[2k+1]. Lanes beyond
+// n_lanes compute garbage from the last valid frame and are never stored.
+void block_magnitudes(const LogmelPlan& p, const float* y, long t0,
+                      int n_lanes, float* zre, float* zim, float* mag) {
   const int m = p.half;
+  const float* starts[VL];
+  for (int l = 0; l < VL; l++)
+    starts[l] = y + (t0 + std::min(l, n_lanes - 1)) * p.hop;
   for (int k = 0; k < m; k++) {
-    zre[k] = frame[2 * k] * p.window[2 * k];
-    zim[k] = frame[2 * k + 1] * p.window[2 * k + 1];
+    const float we = p.window[2 * k], wo = p.window[2 * k + 1];
+    float* zr = zre + (size_t)k * VL;
+    float* zi = zim + (size_t)k * VL;
+#pragma GCC ivdep
+    for (int l = 0; l < VL; l++) {
+      zr[l] = starts[l][2 * k] * we;
+      zi[l] = starts[l][2 * k + 1] * wo;
+    }
   }
-  cfft(p, zre, zim);
+  cfft_block(p, zre, zim);
   // untangle: X[k] = E[k] + e^{-2pi i k/N} O[k]
   //   E[k] = (Z[k] + conj(Z[m-k]))/2, O[k] = -i (Z[k] - conj(Z[m-k]))/2
-  mag[0] = std::fabs(zre[0] + zim[0]);   // DC: sum of even + odd parts
-  mag[m] = std::fabs(zre[0] - zim[0]);   // Nyquist
-  for (int k = 1; k <= m / 2; k++) {
+  for (int l = 0; l < VL; l++) {
+    mag[0 * VL + l] = std::fabs(zre[l] + zim[l]);          // DC
+    mag[(size_t)m * VL + l] = std::fabs(zre[l] - zim[l]);  // Nyquist
+  }
+  for (int k = 1; k < m / 2; k++) {
     const int kk = m - k;
-    const float er = 0.5f * (zre[k] + zre[kk]);
-    const float ei = 0.5f * (zim[k] - zim[kk]);
-    const float or_ = 0.5f * (zim[k] + zim[kk]);
-    const float oi = 0.5f * (zre[kk] - zre[k]);
-    // X[k]
-    {
-      const float cr = p.un_re[k], ci = p.un_im[k];
+    const float* zrk = zre + (size_t)k * VL;
+    const float* zik = zim + (size_t)k * VL;
+    const float* zrkk = zre + (size_t)kk * VL;
+    const float* zikk = zim + (size_t)kk * VL;
+    float* mk = mag + (size_t)k * VL;
+    float* mkk = mag + (size_t)kk * VL;
+    const float cr = p.un_re[k], ci = p.un_im[k];
+    const float dr = p.un_re[kk], di = p.un_im[kk];
+#pragma GCC ivdep
+    for (int l = 0; l < VL; l++) {
+      const float er = 0.5f * (zrk[l] + zrkk[l]);
+      const float ei = 0.5f * (zik[l] - zikk[l]);
+      const float or_ = 0.5f * (zik[l] + zikk[l]);
+      const float oi = 0.5f * (zrkk[l] - zrk[l]);
       const float xr = er + or_ * cr - oi * ci;
       const float xi = ei + or_ * ci + oi * cr;
-      mag[k] = std::sqrt(xr * xr + xi * xi);
+      mk[l] = std::sqrt(xr * xr + xi * xi);
+      // X[m-k]: E and O conjugated, twiddle at m-k
+      const float yr = er + or_ * dr + oi * di;
+      const float yi = -ei + or_ * di - oi * dr;
+      mkk[l] = std::sqrt(yr * yr + yi * yi);
     }
-    // X[m-k] (conjugate-symmetric pieces with flipped signs)
-    if (kk != k) {
-      const float cr = p.un_re[kk], ci = p.un_im[kk];
-      const float er2 = er, ei2 = -ei;
-      const float or2 = or_, oi2 = -oi;
-      const float xr = er2 + or2 * cr - oi2 * ci;
-      const float xi = ei2 + or2 * ci + oi2 * cr;
-      mag[kk] = std::sqrt(xr * xr + xi * xi);
+  }
+  {  // k == m/2 (self-paired: Z[k] pairs with itself)
+    const int k = m / 2;
+    const float* zrk = zre + (size_t)k * VL;
+    const float* zik = zim + (size_t)k * VL;
+    float* mk = mag + (size_t)k * VL;
+    const float cr = p.un_re[k], ci = p.un_im[k];
+#pragma GCC ivdep
+    for (int l = 0; l < VL; l++) {
+      const float er = zrk[l];            // E[k] = Re(Z[k])
+      const float or_ = zik[l];           // O[k] = Im(Z[k])
+      const float xr = er + or_ * cr;
+      const float xi = or_ * ci;
+      mk[l] = std::sqrt(xr * xr + xi * xi);
     }
   }
 }
 
 struct Scratch {
-  std::vector<float> y;     // pre-emphasized samples
-  std::vector<float> zre, zim, mag;
+  std::vector<float> y;          // pre-emphasized samples
+  std::vector<float> zre, zim;   // half x VL
+  std::vector<float> mag;        // n_bins x VL
 };
 
 // samples (n) -> out (frames x n_mels) raw log-mel; returns frame count.
@@ -169,21 +251,33 @@ long compute_logmel(const LogmelPlan& p, const float* samples, long n,
   s.y[0] = samples[0] * p.rescale * (1.0f - p.preemph);
   for (long i = 1; i < n; i++)
     s.y[i] = samples[i] * p.rescale - p.preemph * samples[i - 1] * p.rescale;
-  s.zre.resize(p.half);
-  s.zim.resize(p.half);
-  s.mag.resize(p.n_bins);
-  for (long t = 0; t < frames; t++) {
-    frame_magnitudes(p, s.y.data() + t * p.hop, s.zre.data(), s.zim.data(),
+  s.zre.resize((size_t)p.half * VL);
+  s.zim.resize((size_t)p.half * VL);
+  s.mag.resize((size_t)p.n_bins * VL);
+  for (long t0 = 0; t0 < frames; t0 += VL) {
+    const int n_lanes = (int)std::min<long>(VL, frames - t0);
+    block_magnitudes(p, s.y.data(), t0, n_lanes, s.zre.data(), s.zim.data(),
                      s.mag.data());
-    float* row = out + (size_t)t * p.n_mels;
     for (int mbin = 0; mbin < p.n_mels; mbin++) {
       const Sparse& sp = p.mel[mbin];
-      float acc = 0.f;
+      float acc[VL] = {0.f};
       const float* w = sp.w.data();
-      const float* mg = s.mag.data() + sp.start;
+      const float* mg = s.mag.data() + (size_t)sp.start * VL;
       const int cnt = (int)sp.w.size();
-      for (int j = 0; j < cnt; j++) acc += w[j] * mg[j];
-      row[mbin] = std::log(std::max(p.log_floor, acc));
+      for (int j = 0; j < cnt; j++) {
+        const float wj = w[j];
+        const float* mrow = mg + (size_t)j * VL;
+#pragma GCC ivdep
+        for (int l = 0; l < VL; l++) acc[l] += wj * mrow[l];
+      }
+      float* const orow = out + (size_t)t0 * p.n_mels + mbin;
+      if (p.fast_log) {
+        for (int l = 0; l < n_lanes; l++)
+          orow[(size_t)l * p.n_mels] = fast_logf(std::max(p.log_floor, acc[l]));
+      } else {
+        for (int l = 0; l < n_lanes; l++)
+          orow[(size_t)l * p.n_mels] = std::log(std::max(p.log_floor, acc[l]));
+      }
     }
   }
   return frames;
@@ -243,6 +337,7 @@ void* logmel_create(int n_fft, int hop, int n_mels, const float* window,
   p->preemph = preemph;
   p->rescale = rescale;
   p->log_floor = log_floor;
+  p->fast_log = log_floor > 0.f;
   p->window.assign(window, window + n_fft);
   p->mel.resize(n_mels);
   for (int m = 0; m < n_mels; m++) {
