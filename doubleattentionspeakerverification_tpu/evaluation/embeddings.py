@@ -41,21 +41,39 @@ def wav_feature_loader(
     feat_cfg=None,
     normalization: str = "cmn",
     bucket_seconds: float = 2.0,
+    host_dsp: bool = False,
 ) -> Callable:
-    """Loader for raw-wav validation sets: decode, log-mel on device, CMN —
+    """Loader for raw-wav validation sets: decode, log-mel, CMN —
     the ``getEmbeddingExample`` inference combination (CMN regardless of the
     training normalization is the reference's quirk; here it's an argument).
 
-    Waveforms are zero-padded up to a ``bucket_seconds`` grid so the jitted
-    DSP compiles once per bucket instead of once per utterance length; the
-    padded tail frames are sliced off before normalization.
+    Default path: log-mel on device; waveforms are zero-padded up to a
+    ``bucket_seconds`` grid so the jitted DSP compiles once per bucket
+    instead of once per utterance length (padded tail frames sliced off
+    before normalization). ``host_dsp`` instead runs the native C++ kernel
+    (numpy fallback) on the host — no XLA compiles, and consistent with
+    training when ``DataConfig.host_dsp`` is set.
     """
     from ..config import FeatureConfig
     from ..data.wav import read_wav
-    from ..dsp.features import make_bucketed_logmel
+    from ..dsp.features import log_mel_spectrogram_np, make_bucketed_logmel
 
     feat_cfg = feat_cfg or FeatureConfig()
     extractors = {}
+
+    def get_extractor(cfg):
+        if cfg not in extractors:
+            if host_dsp:
+                try:
+                    from ..utils.native import NativeLogmel
+
+                    native = NativeLogmel(cfg)
+                    extractors[cfg] = native.compute
+                except Exception:
+                    extractors[cfg] = lambda w, _c=cfg: log_mel_spectrogram_np(w, _c)
+            else:
+                extractors[cfg] = make_bucketed_logmel(cfg, bucket_seconds)
+        return extractors[cfg]
 
     def load(utt_id: str) -> np.ndarray:
         path = f"{data_dir}/{utt_id}"
@@ -63,9 +81,7 @@ def wav_feature_loader(
             path += ".wav"
         wave, sr = read_wav(path)
         cfg = feat_cfg if sr == feat_cfg.sample_rate else FeatureConfig(sample_rate=sr)
-        if cfg not in extractors:
-            extractors[cfg] = make_bucketed_logmel(cfg, bucket_seconds)
-        feats = extractors[cfg](wave.astype(np.float32))
+        feats = get_extractor(cfg)(wave.astype(np.float32))
         return normalize_np(feats, normalization)
 
     return load

@@ -144,7 +144,8 @@ class Trainer:
             from ..evaluation.embeddings import wav_feature_loader
 
             loader = wav_feature_loader(
-                cfg.data.valid_data_dir, cfg.features, cfg.train.normalization
+                cfg.data.valid_data_dir, cfg.features, cfg.train.normalization,
+                host_dsp=cfg.data.host_dsp,
             )
         else:
             loader = pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization)

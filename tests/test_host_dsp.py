@@ -164,6 +164,19 @@ def test_extract_features_cli_host_dsp(tmp_path, native_logmel):
     np.testing.assert_allclose(host, xla, atol=5e-4)
 
 
+def test_wav_feature_loader_host_dsp_matches_device(tmp_path):
+    """Validation feature loader: host_dsp path == jitted device path."""
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        wav_feature_loader,
+    )
+
+    write_wav(str(tmp_path / "u1.wav"), _wave(1.1, seed=9), FEAT.sample_rate)
+    dev = wav_feature_loader(str(tmp_path), FEAT, "cmn")("u1")
+    host = wav_feature_loader(str(tmp_path), FEAT, "cmn", host_dsp=True)("u1")
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=2e-3)
+
+
 def test_host_dsp_train_loader_and_step(tmp_path):
     """End-to-end: HostDspWavSource through TrainLoader into the jitted
     train step — feature-path batch layout, finite loss."""
