@@ -81,7 +81,7 @@ def import_state_dict(
         bn_mean=sd["b2.running_mean"],
         bn_var=sd["b2.running_var"],
         bn_count=np.asarray(
-            int(sd.get("b2.num_batches_tracked", np.zeros(()))), dtype=np.int32
+            int(np.asarray(sd.get("b2.num_batches_tracked", 0)).item()), dtype=np.int32
         ),
     )
     return params, state
