@@ -1,0 +1,46 @@
+"""Embedding-serving CLI.
+
+Starts the micro-batched HTTP embedding server (``serving.py``) on a
+checkpoint — ours (.npz/.orbax) or a reference torch ``.chkpt``:
+
+  python -m doubleattentionspeakerverification_tpu.cli.serve \\
+      --modelCheckpoint models/run1/..._best_1234.npz --port 8390
+
+  curl -s -X POST --data-binary @spk.wav localhost:8390/embed
+  curl -s localhost:8390/health
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..api import SpeakerEmbeddingModel
+from ..serving import make_server, serve_forever
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Serve speaker embeddings over HTTP.")
+    parser.add_argument("--modelCheckpoint", type=str, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8390)
+    parser.add_argument("--normalization", type=str, default="cmn", choices=["cmn", "cmvn"])
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="requests per fused forward (one XLA program per "
+                             "length bucket at this fixed batch size)")
+    parser.add_argument("--max_wait_ms", type=float, default=5.0,
+                        help="how long the batcher waits for co-riders")
+    params = parser.parse_args(argv)
+
+    model = SpeakerEmbeddingModel.from_checkpoint(
+        params.modelCheckpoint, params.normalization
+    )
+    server = make_server(model, params.host, params.port,
+                         params.max_batch, params.max_wait_ms)
+    print(f"serving {params.modelCheckpoint} on "
+          f"http://{server.server_address[0]}:{server.server_address[1]}")
+    serve_forever(server)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,7 +53,7 @@ class ModelConfig:
     kernel_size: int = 1024               # top conv channel count
     embedding_size: int = 400
     heads_number: int = 32
-    pooling_method: str = "DoubleMHA"     # 'Attention' | 'MHA' | 'DoubleMHA' | 'SelfAttention' | 'StatisticalPooling'
+    pooling_method: str = "DoubleMHA"     # 'Attention' | 'MHA' | 'DoubleMHA' | 'StatisticalPooling'
     mask_prob: float = 0.3                # head-dropout; P(drop) = 1 / int(1/mask_prob)
     feature_size: int = 80                # hardcoded in reference (scripts/model.py:13)
     num_spkrs: int = 5994

@@ -1,0 +1,123 @@
+"""Micro-batched embedding serving (serving.py + cli/serve.py)."""
+
+import json
+import struct
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+from doubleattentionspeakerverification_tpu.config import (
+    ExperimentConfig,
+    ModelConfig,
+)
+from doubleattentionspeakerverification_tpu.serving import MicroBatcher, make_server
+
+TINY = ExperimentConfig(
+    model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4)
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return SpeakerEmbeddingModel.from_random_init(TINY, seed=3)
+
+
+def _feats(t, seed=0):
+    return np.random.default_rng(seed).standard_normal((t, 80)).astype(np.float32)
+
+
+def test_microbatcher_matches_direct(model):
+    batcher = MicroBatcher(model, max_batch=4, max_wait_ms=2.0, buckets=(64, 128))
+    try:
+        f = _feats(50, seed=1)
+        got = batcher.embed(f)
+        want = model.embed_features(f[None], np.array([50], np.int32))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_concurrent_requests_batched(model):
+    batcher = MicroBatcher(model, max_batch=8, max_wait_ms=100.0, buckets=(64,))
+    try:
+        feats = [_feats(40 + i, seed=i) for i in range(6)]
+        results = [None] * 6
+
+        def call(i):
+            results[i] = batcher.embed(feats[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(6):
+            want = model.embed_features(
+                feats[i][None], np.array([feats[i].shape[0]], np.int32)
+            )[0]
+            np.testing.assert_allclose(results[i], want, atol=1e-5)
+        s = batcher.stats()
+        assert s["requests"] == 6
+        # the 100 ms window must have fused them into far fewer forwards
+        assert s["forwards"] < 6
+    finally:
+        batcher.close()
+
+
+def _wav_bytes(seconds=0.6, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    y = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.02 * rng.standard_normal(len(t))
+    pcm = (np.clip(y, -1, 1) * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+def test_http_server_embed_score_health(model):
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, data):
+            req = urllib.request.Request(base + path, data=data, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        e1 = post("/embed", _wav_bytes(seed=1))
+        e2 = post("/embed", _wav_bytes(seed=2))
+        assert len(e1["embedding"]) == TINY.model.embedding_size
+        assert e1["frames"] > 50
+
+        s = post("/score", json.dumps({"a": e1["embedding"], "b": e2["embedding"]}).encode())
+        assert -1.0 <= s["score"] <= 1.0
+        same = post("/score", json.dumps({"a": e1["embedding"], "b": e1["embedding"]}).encode())
+        assert same["score"] == pytest.approx(1.0, abs=1e-5)
+
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["requests"] >= 2
+
+        # malformed request -> 400, not a dead server
+        req = urllib.request.Request(base + "/embed", data=b"not a wav", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
+
+
+def test_serve_cli_parser():
+    from doubleattentionspeakerverification_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit):  # required flag missing
+        main([])
