@@ -153,6 +153,24 @@ def make_server(
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
     t0 = time.time()
 
+    # Feature extraction for uploads: native host kernel when built (no XLA
+    # dispatch per distinct utterance length), eager-JAX fallback otherwise.
+    native_plans = {}
+
+    def extract(wave: np.ndarray, cfg) -> np.ndarray:
+        try:
+            from .utils.native import NativeLogmel
+
+            if cfg not in native_plans:
+                native_plans[cfg] = NativeLogmel(cfg)
+            return native_plans[cfg].compute(
+                wave.astype(np.float32), model.normalization
+            )
+        except Exception:
+            return np.asarray(
+                extract_normalized(wave.astype(np.float32), cfg, model.normalization)
+            )
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; metrics live in /health
             pass
@@ -188,9 +206,7 @@ def make_server(
                         from .config import FeatureConfig
 
                         cfg = FeatureConfig(sample_rate=sr)
-                    feats = np.asarray(extract_normalized(
-                        wave.astype(np.float32), cfg, model.normalization
-                    ))
+                    feats = extract(wave, cfg)
                     emb = batcher.embed(feats)
                     self._json(200, {
                         "embedding": [float(v) for v in emb],

@@ -1,0 +1,26 @@
+"""Real multi-process distributed training check.
+
+Unlike the in-process virtual mesh used elsewhere in the suite, this spawns
+two ACTUAL processes connected via ``jax.distributed`` (gloo over
+localhost — the same code path as TPU hosts over DCN), runs the real jitted
+train step on a global mesh with per-host batch shards, and requires the
+losses to match a single-process run (tools/multihost_check.py).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_training_matches_single():
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_check.py")],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "MATCH" in result.stdout
