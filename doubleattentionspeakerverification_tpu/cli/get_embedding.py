@@ -13,15 +13,12 @@ from __future__ import annotations
 import argparse
 
 
-import jax
 import numpy as np
 
 from ..config import ExperimentConfig, FeatureConfig
 from ..data.wav import read_wav
 from ..dsp.features import extract_normalized
-from ..models.classifier import get_embedding, init_speaker_classifier
-from ..training.step import init_train_state
-from ..utils.checkpoint import load_checkpoint
+from ..models.classifier import get_embedding
 
 
 def load_model(checkpoint_path: str):
@@ -31,28 +28,9 @@ def load_model(checkpoint_path: str):
 
         params, state, cfg, _epoch, _step = load_torch_checkpoint(checkpoint_path)
         return params, state, cfg
-    import json
-    import os
+    from ..utils.checkpoint import load_train_state_any
 
-    if checkpoint_path.rstrip("/").endswith(".orbax"):
-        from ..utils.orbax_ckpt import load_checkpoint_orbax
-
-        with open(os.path.join(checkpoint_path, "meta.json")) as f:
-            meta = json.load(f)
-        cfg = ExperimentConfig.from_dict(meta["config"])
-        p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
-        template = init_train_state(p0, ms0, cfg)
-        state, _ = load_checkpoint_orbax(checkpoint_path, template)
-        return state.params, state.model_state, cfg
-    # ours (.npz): restore into a freshly-initialized template of the saved config
-    import numpy as _np
-
-    with _np.load(checkpoint_path) as z:
-        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
-    cfg = ExperimentConfig.from_dict(meta["config"])
-    p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
-    template = init_train_state(p0, ms0, cfg)
-    state, _ = load_checkpoint(checkpoint_path, template)
+    state, _meta, cfg = load_train_state_any(checkpoint_path)
     return state.params, state.model_state, cfg
 
 

@@ -29,13 +29,17 @@ def main(argv=None) -> int:
                              "length bucket at this fixed batch size)")
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="how long the batcher waits for co-riders")
+    parser.add_argument("--embed_timeout_s", type=float, default=600.0,
+                        help="per-request wait bound; the first request per "
+                             "length bucket sits out an XLA compile")
     params = parser.parse_args(argv)
 
     model = SpeakerEmbeddingModel.from_checkpoint(
         params.modelCheckpoint, params.normalization
     )
     server = make_server(model, params.host, params.port,
-                         params.max_batch, params.max_wait_ms)
+                         params.max_batch, params.max_wait_ms,
+                         embed_timeout_s=params.embed_timeout_s)
     print(f"serving {params.modelCheckpoint} on "
           f"http://{server.server_address[0]}:{server.server_address[1]}")
     serve_forever(server)

@@ -43,7 +43,9 @@ def normalize_np(features: np.ndarray, mode: str, std_floor: float = 0.01) -> np
 
 def sample_window(features: np.ndarray, window: int, rng: np.random.Generator) -> np.ndarray:
     """Random fixed window (``data.py:50-55``): start ~ randint(0, max(0, T-W-1))
-    inclusive; whole file if shorter than the window."""
+    inclusive; whole file if shorter than the window. Works on any leading
+    axis (feature frames or raw samples) — the wav sources use the same
+    distribution in the sample domain, as does the native batch kernel."""
     t = features.shape[0]
     hi = max(0, t - window - 1)
     start = int(rng.integers(0, hi + 1))
@@ -88,11 +90,7 @@ class WavSource:
             wave = self.native_reader(path)
         else:
             wave, _sr = read_wav(path)
-        w = self.window_samples
-        n = wave.shape[0]
-        hi = max(0, n - w - 1)
-        start = int(rng.integers(0, hi + 1))
-        win = wave[start : start + min(n, w)].astype(np.float32)
+        win = sample_window(wave, self.window_samples, rng).astype(np.float32)
         return win, win.shape[0]
 
     def load_batch(self, utts, rng: np.random.Generator):
@@ -122,7 +120,7 @@ class WavSource:
         return wins, lengths
 
 
-class HostDspWavSource:
+class HostDspWavSource(WavSource):
     """Reads wavs and computes normalized log-mel windows ON THE HOST — the
     native C++ fused kernel (``native/logmel.cpp``: parallel decode + random
     window + FFT/mel + CMN) when built, numpy (pocketfft) otherwise.
@@ -141,24 +139,13 @@ class HostDspWavSource:
 
     def __init__(self, data_dir: str, feat_cfg: FeatureConfig, window_frames: int,
                  normalization: str = "cmn"):
-        self.data_dir = data_dir
+        super().__init__(data_dir, feat_cfg, window_frames)
         self.feat_cfg = feat_cfg
         self.normalization = normalization
         self.window_frames = window_frames
-        self.window_samples = num_samples_for_frames(window_frames, feat_cfg)
-        self._native = None
-        try:
-            from ..utils.native import NativeLogmel
+        from ..utils.native import try_native_logmel
 
-            self._native = NativeLogmel(feat_cfg)
-        except Exception:
-            self._native = None
-
-    def _path(self, utt: Utterance) -> str:
-        path = f"{self.data_dir}/{utt.path}"
-        if not path.endswith(".wav"):
-            path += ".wav"
-        return path
+        self._native = try_native_logmel(feat_cfg)
 
     def _logmel_normalized(self, window: np.ndarray) -> np.ndarray:
         if self._native is not None:
@@ -169,11 +156,7 @@ class HostDspWavSource:
         return normalize_np(feats, self.normalization)
 
     def load(self, utt: Utterance, rng: np.random.Generator):
-        wave, _sr = read_wav(self._path(utt))
-        w = self.window_samples
-        hi = max(0, wave.shape[0] - w - 1)
-        start = int(rng.integers(0, hi + 1))
-        win = wave[start : start + min(wave.shape[0], w)].astype(np.float32)
+        win, _n = super().load(utt, rng)
         feats = self._logmel_normalized(win)
         return feats, feats.shape[0]
 

@@ -56,7 +56,7 @@ def wav_feature_loader(
     """
     from ..config import FeatureConfig
     from ..data.wav import read_wav
-    from ..dsp.features import log_mel_spectrogram_np, make_bucketed_logmel
+    from ..dsp.features import make_bucketed_logmel
 
     feat_cfg = feat_cfg or FeatureConfig()
     extractors = {}
@@ -64,13 +64,9 @@ def wav_feature_loader(
     def get_extractor(cfg):
         if cfg not in extractors:
             if host_dsp:
-                try:
-                    from ..utils.native import NativeLogmel
+                from ..utils.native import host_logmel_extractor
 
-                    native = NativeLogmel(cfg)
-                    extractors[cfg] = native.compute
-                except Exception:
-                    extractors[cfg] = lambda w, _c=cfg: log_mel_spectrogram_np(w, _c)
+                extractors[cfg] = host_logmel_extractor(cfg, "none")
             else:
                 extractors[cfg] = make_bucketed_logmel(cfg, bucket_seconds)
         return extractors[cfg]

@@ -32,7 +32,6 @@ import numpy as np
 
 from .api import SpeakerEmbeddingModel
 from .data.wav import decode_wav_bytes
-from .dsp.features import extract_normalized
 from .evaluation.eer import cosine_scores
 from .evaluation.embeddings import bucket_for
 
@@ -64,22 +63,26 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         buckets: Sequence[int] = SERVE_BUCKETS,
+        embed_timeout_s: float = 600.0,
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
+        # default generous: the FIRST request per length bucket waits out an
+        # XLA compile (~2 min on TPU), and requests queued behind it wait too
+        self.embed_timeout_s = embed_timeout_s
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stats = {"requests": 0, "forwards": 0, "batched": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------- client
-    def embed(self, feats: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+    def embed(self, feats: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
         """(T, F) normalized features -> (emb,). Thread-safe, blocking."""
         p = _Pending(np.asarray(feats, np.float32))
         self._q.put(p)
-        if not p.event.wait(timeout):
+        if not p.event.wait(self.embed_timeout_s if timeout is None else timeout):
             raise TimeoutError("embedding request timed out")
         if p.error is not None:
             raise p.error
@@ -148,28 +151,23 @@ def make_server(
     port: int = 0,
     max_batch: int = 8,
     max_wait_ms: float = 5.0,
+    embed_timeout_s: float = 600.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
-    batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                           embed_timeout_s=embed_timeout_s)
     t0 = time.time()
 
     # Feature extraction for uploads: native host kernel when built (no XLA
-    # dispatch per distinct utterance length), eager-JAX fallback otherwise.
-    native_plans = {}
+    # dispatch per distinct utterance length), numpy fallback otherwise.
+    from .utils.native import host_logmel_extractor
+
+    extractors = {}
 
     def extract(wave: np.ndarray, cfg) -> np.ndarray:
-        try:
-            from .utils.native import NativeLogmel
-
-            if cfg not in native_plans:
-                native_plans[cfg] = NativeLogmel(cfg)
-            return native_plans[cfg].compute(
-                wave.astype(np.float32), model.normalization
-            )
-        except Exception:
-            return np.asarray(
-                extract_normalized(wave.astype(np.float32), cfg, model.normalization)
-            )
+        if cfg not in extractors:
+            extractors[cfg] = host_logmel_extractor(cfg, model.normalization)
+        return extractors[cfg](wave.astype(np.float32))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; metrics live in /health

@@ -175,3 +175,32 @@ def prune_checkpoints(out_dir: str, model_name: str, keep: int, protect: Tuple[s
     entries.sort()
     for _, full in entries[:-keep] if len(entries) > keep else []:
         os.remove(full)
+
+
+def load_train_state_any(checkpoint_path: str):
+    """Full TrainState + meta + config from a ``.npz`` file or ``.orbax``
+    directory — the shared loader behind the get_embedding / serve /
+    export_checkpoint CLIs. Builds a freshly-initialized template from the
+    checkpoint's embedded config and restores into it."""
+    from ..config import ExperimentConfig
+    from ..models.classifier import init_speaker_classifier
+    from ..training.step import init_train_state
+
+    if checkpoint_path.rstrip("/").endswith(".orbax"):
+        from .orbax_ckpt import load_checkpoint_orbax
+
+        with open(os.path.join(checkpoint_path, "meta.json")) as f:
+            meta = json.load(f)
+        cfg = ExperimentConfig.from_dict(meta["config"])
+        p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+        state, meta = load_checkpoint_orbax(
+            checkpoint_path, init_train_state(p0, ms0, cfg)
+        )
+        return state, meta, cfg
+
+    with np.load(checkpoint_path) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+    cfg = ExperimentConfig.from_dict(meta["config"])
+    p0, ms0 = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state, meta = load_checkpoint(checkpoint_path, init_train_state(p0, ms0, cfg))
+    return state, meta, cfg

@@ -245,3 +245,30 @@ class NativeLogmel:
             n_threads,
         )
         return out, lengths
+
+
+def try_native_logmel(feat_cfg) -> Optional["NativeLogmel"]:
+    """A NativeLogmel plan, or None when the library can't be built."""
+    try:
+        return NativeLogmel(feat_cfg)
+    except Exception:
+        return None
+
+
+def host_logmel_extractor(feat_cfg, normalization: str = "none"):
+    """``wave (N,) float32 -> (T, n_mels) float32`` on the HOST: the native
+    C++ kernel when built, numpy (pocketfft) otherwise. The one shared
+    implementation behind serving uploads, wav validation loaders and the
+    host-DSP training source."""
+    plan = try_native_logmel(feat_cfg)
+    if plan is not None:
+        return lambda wave: plan.compute(wave, normalization)
+
+    from ..data.dataset import normalize_np
+    from ..dsp.features import log_mel_spectrogram_np
+
+    def extract(wave: np.ndarray) -> np.ndarray:
+        feats = log_mel_spectrogram_np(wave, feat_cfg)
+        return feats if normalization == "none" else normalize_np(feats, normalization)
+
+    return extract

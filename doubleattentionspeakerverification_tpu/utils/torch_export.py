@@ -111,58 +111,86 @@ def _torch_param_order(cfg: ModelConfig):
     return order, dead
 
 
-def _adam_moments(opt_state):
-    """Extract (count, mu, nu) from our optimizer state (inject_hyperparams
-    around chain(wd, scale_by_adam, scale)); None if no Adam moments."""
+def _optax_moments(opt_state):
+    """(kind, count, trees...) from our optimizer state (inject_hyperparams
+    around chain(wd, core, scale)); ('none',) when the core keeps no state
+    (SGD) or opt_state wasn't given."""
     import optax
 
     inner = getattr(opt_state, "inner_state", opt_state)
-    for s in inner:
+    try:
+        states = list(inner)
+    except TypeError:
+        states = [inner]
+    for s in states:
         if isinstance(s, optax.ScaleByAdamState):
-            return int(s.count), s.mu, s.nu
-    return None
+            return ("adam", int(s.count), s.mu, s.nu)
+        if isinstance(s, optax.ScaleByRmsState):
+            return ("rms", 0, s.nu)
+    return ("none",)
+
+
+def _params_only_sd(tree, state: ModelState, cfg: ModelConfig):
+    """export_state_dict for a params-shaped tree (optimizer moments): the
+    BN running stats / synthesized buffers it also emits are never read."""
+    zero = ModelState(state.bn_mean * 0, state.bn_var * 0 + 1, state.bn_count * 0)
+    return export_state_dict(tree, zero, cfg)
 
 
 def export_optimizer_state_dict(
-    opt_state, params: Dict[str, Any], state: ModelState, cfg: ExperimentConfig
-) -> Optional[Dict[str, Any]]:
-    """optax Adam state -> torch ``Adam.state_dict()``; None for non-Adam."""
-    moments = _adam_moments(opt_state) if opt_state is not None else None
-    if moments is None:
-        return None
-    count, mu, nu = moments
-    sd_mu = export_state_dict(mu, ModelState(state.bn_mean * 0, state.bn_var * 0 + 1,
-                                             state.bn_count * 0), cfg.model)
-    sd_nu = export_state_dict(nu, ModelState(state.bn_mean * 0, state.bn_var * 0 + 1,
-                                             state.bn_count * 0), cfg.model)
+    opt_state, params: Dict[str, Any], state: ModelState, cfg: ExperimentConfig,
+    step: int = 0,
+) -> Dict[str, Any]:
+    """-> torch ``Optimizer.state_dict()`` for the reference's optimizer
+    (``scripts/train.py:82-88``: Adam/SGD/RMSprop at lr + weight_decay,
+    torch defaults otherwise). ALWAYS loadable — the reference's requeue
+    path calls ``optimizer.load_state_dict`` unconditionally
+    (``train.py:42``) — with moments included when ``opt_state`` has them.
+    """
     order, dead = _torch_param_order(cfg.model)
-    opt_sd: Dict[str, Any] = {
-        "state": {
-            i: {
-                "step": count,
-                "exp_avg": sd_mu[k],
-                "exp_avg_sq": sd_nu[k],
-            }
+    lr = _get_lr(opt_state, cfg) if opt_state is not None else cfg.train.learning_rate
+    common = {
+        "lr": lr,
+        "weight_decay": cfg.train.weight_decay,
+        "maximize": False,
+        "foreach": None,
+        "differentiable": False,
+        "params": list(range(len(order))),
+    }
+    opt = cfg.train.optimizer
+    if opt == "Adam":
+        group = {**common, "betas": (0.9, 0.999), "eps": 1e-8, "amsgrad": False,
+                 "capturable": False, "fused": None}
+    elif opt == "SGD":
+        group = {**common, "momentum": 0, "dampening": 0, "nesterov": False,
+                 "fused": None}
+    elif opt == "RMSprop":
+        group = {**common, "momentum": 0, "alpha": 0.99, "eps": 1e-8,
+                 "centered": False, "capturable": False}
+    else:
+        raise ValueError(f"unknown optimizer {opt!r}")
+
+    moments = _optax_moments(opt_state) if opt_state is not None else ("none",)
+    st: Dict[int, Dict[str, Any]] = {}
+    if opt == "Adam" and moments[0] == "adam":
+        _, count, mu, nu = moments
+        sd_mu = _params_only_sd(mu, state, cfg.model)
+        sd_nu = _params_only_sd(nu, state, cfg.model)
+        st = {
+            i: {"step": count, "exp_avg": sd_mu[k], "exp_avg_sq": sd_nu[k]}
             for i, k in enumerate(order)
             if i not in dead
-        },
-        "param_groups": [
-            {
-                "lr": _get_lr(opt_state, cfg),
-                "betas": (0.9, 0.999),
-                "eps": 1e-8,
-                "weight_decay": cfg.train.weight_decay,
-                "amsgrad": False,
-                "maximize": False,
-                "foreach": None,
-                "capturable": False,
-                "differentiable": False,
-                "fused": None,
-                "params": list(range(len(order))),
-            }
-        ],
-    }
-    return opt_sd
+        }
+    elif opt == "RMSprop" and moments[0] == "rms":
+        sd_nu = _params_only_sd(moments[2], state, cfg.model)
+        st = {
+            i: {"step": step, "square_avg": sd_nu[k]}
+            for i, k in enumerate(order)
+            if i not in dead
+        }
+    # SGD at the reference's momentum=0 keeps no per-param state; an empty
+    # 'state' is exactly what a freshly-stepped torch SGD serializes.
+    return {"state": st, "param_groups": [group]}
 
 
 def _get_lr(opt_state, cfg: ExperimentConfig) -> float:
@@ -233,22 +261,19 @@ def save_torch_checkpoint(
         k: torch.from_numpy(np.ascontiguousarray(v).copy())
         for k, v in export_state_dict(params, state, cfg.model).items()
     }
-    opt_sd = export_optimizer_state_dict(opt_state, params, state, cfg)
-    if opt_sd is not None:
-        opt_sd["state"] = {
-            i: {
-                "step": torch.tensor(float(ent["step"])),
-                "exp_avg": torch.from_numpy(np.ascontiguousarray(ent["exp_avg"]).copy()),
-                "exp_avg_sq": torch.from_numpy(
-                    np.ascontiguousarray(ent["exp_avg_sq"]).copy()
-                ),
-            }
-            for i, ent in opt_sd["state"].items()
+    opt_sd = export_optimizer_state_dict(opt_state, params, state, cfg, step=step)
+    opt_sd["state"] = {
+        i: {
+            k: (torch.tensor(float(v)) if np.isscalar(v)
+                else torch.from_numpy(np.ascontiguousarray(v).copy()))
+            for k, v in ent.items()
         }
+        for i, ent in opt_sd["state"].items()
+    }
     torch.save(
         {
             "model": model_sd,
-            "optimizer": opt_sd if opt_sd is not None else {},
+            "optimizer": opt_sd,
             "settings": settings_namespace(cfg),
             "epoch": epoch,
             "step": step,

@@ -120,6 +120,47 @@ def test_export_import_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(state.model_state.bn_var), ms2.bn_var, atol=1e-6)
 
 
+@pytest.mark.parametrize("opt_name,torch_cls", [
+    ("SGD", "SGD"), ("RMSprop", "RMSprop"), ("Adam", "Adam"),
+])
+def test_export_optimizer_always_loadable(tmp_path, opt_name, torch_cls):
+    """The reference's requeue calls ``optimizer.load_state_dict``
+    unconditionally (``train.py:42``) — every exported .chkpt must carry a
+    loadable optimizer state for its configured optimizer, moments or not."""
+    add_reference_path()
+    from model import SpeakerClassifier
+
+    import dataclasses
+
+    cfg = CFG.replace(train=dataclasses.replace(CFG.train, optimizer=opt_name))
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    step = make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": rng.standard_normal((2, 4, 50, 80)).astype(np.float32),
+        "lengths": np.full((2, 4), 50, np.int32),
+        "labels": rng.integers(0, cfg.model.num_spkrs, (2, 4)).astype(np.int32),
+    }
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "opt.chkpt")
+    save_torch_checkpoint(path, state.params, state.model_state, cfg,
+                          opt_state=state.opt_state, step=1)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    net = SpeakerClassifier(ckpt["settings"], torch.device("cpu"))
+    net.load_state_dict(ckpt["model"])
+    opt = getattr(torch.optim, torch_cls)(
+        net.parameters(), lr=1e-4, weight_decay=1e-3
+    )
+    opt.load_state_dict(ckpt["optimizer"])  # reference train.py:42 equivalent
+    net.eval()  # reference train-mode head masking is CUDA-only (poolings.py:41)
+    x = np.random.default_rng(2).standard_normal((2, 30, 80)).astype(np.float32)
+    pred, logits = net(torch.from_numpy(x), torch.tensor([0, 1]), 1)
+    torch.nn.functional.cross_entropy(logits, torch.tensor([0, 1])).backward()
+    opt.step()
+
+
 def test_export_cli(tmp_path):
     from doubleattentionspeakerverification_tpu.cli.export_checkpoint import (
         main as export_main,

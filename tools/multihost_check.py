@@ -158,7 +158,16 @@ def run_worker(pid: int, nprocs: int, port: int, out_path: str) -> None:
                        "global_devices": jax.device_count()}, f)
 
 
-def orchestrate(nprocs: int = 2, port: int = 29417) -> int:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def orchestrate(nprocs: int = 2, port: int = 0) -> int:
+    port = port or _free_port()  # concurrent runs must not share a coordinator
     tmp = tempfile.mkdtemp(prefix="multihost_check_")
     single_out = os.path.join(tmp, "single.json")
     multi_out = os.path.join(tmp, "multi.json")
