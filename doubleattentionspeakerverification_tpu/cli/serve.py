@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     parser.add_argument("--embed_timeout_s", type=float, default=600.0,
                         help="per-request wait bound; the first request per "
                              "length bucket sits out an XLA compile")
+    parser.add_argument("--warmup", type=str, default="",
+                        help="comma-separated frame lengths (100 frames = 1 s) "
+                             "whose buckets are pre-compiled before serving, "
+                             "e.g. --warmup 350,1000")
     params = parser.parse_args(argv)
 
     model = SpeakerEmbeddingModel.from_checkpoint(
@@ -40,6 +44,10 @@ def main(argv=None) -> int:
     server = make_server(model, params.host, params.port,
                          params.max_batch, params.max_wait_ms,
                          embed_timeout_s=params.embed_timeout_s)
+    if params.warmup:
+        lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
+        print(f"warming up buckets for frame lengths {lengths} ...")
+        server.batcher.warmup(lengths)
     print(f"serving {params.modelCheckpoint} on "
           f"http://{server.server_address[0]}:{server.server_address[1]}")
     serve_forever(server)

@@ -45,6 +45,8 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
             audio_format, n_ch, bits = fmt
+            if n_ch < 1:
+                raise ValueError(f"invalid channel count {n_ch}")
             raw = data[body : body + chunk_size]
             samples = _decode_samples(raw, audio_format, bits)
             if n_ch > 1:

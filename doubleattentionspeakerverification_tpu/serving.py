@@ -95,6 +95,15 @@ class MicroBatcher:
     def stats(self) -> dict:
         return dict(self._stats)
 
+    def warmup(self, frame_lengths: Sequence[int]) -> None:
+        """Pre-compile the forward for the buckets covering these lengths,
+        so the first real request never waits out an XLA compile."""
+        for t in sorted({bucket_for(t, self.buckets) for t in frame_lengths}):
+            feat_dim = self.model.cfg.model.feature_size
+            self.embed(np.zeros((t, feat_dim), np.float32))
+        # warmup traffic shouldn't pollute the /health counters
+        self._stats.update(requests=0, forwards=0, batched=0)
+
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
         while True:

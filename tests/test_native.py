@@ -78,3 +78,39 @@ def test_native_missing_file(tmp_path, lib):
     wins, lengths = native.native_read_windows([str(tmp_path / "nope.wav")], 100, [0])
     assert lengths[0] == -1
     assert np.all(wins == 0)
+
+
+def test_decoders_reject_malformed_wavs(tmp_path, lib):
+    """Garbage/truncated/hostile headers must fail cleanly (no crash, no
+    hang) in BOTH the native C++ decoder and the python fallback."""
+    import struct
+
+    cases = {
+        "empty": b"",
+        "garbage": b"\x00\x01\x02" * 50,
+        "riff_only": b"RIFF\xff\xff\xff\xffWAVE",
+        "truncated_fmt": b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+                          + b"fmt " + struct.pack("<I", 16) + b"\x01\x00",
+        "zero_channels": b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                          + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 16000, 0, 0, 16)
+                          + b"data" + struct.pack("<I", 4) + b"\x00" * 4,
+        "huge_chunk_size": b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                          + b"fmt " + struct.pack("<I", 0xFFFFFFF0),
+        "data_before_fmt": b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                          + b"data" + struct.pack("<I", 4) + b"\x00" * 4,
+    }
+    paths = []
+    for name, blob in cases.items():
+        p = str(tmp_path / f"{name}.wav")
+        with open(p, "wb") as f:
+            f.write(blob)
+        paths.append(p)
+
+    wins, lengths = native.native_read_windows(paths, 100, list(range(len(paths))))
+    assert all(l == -1 for l in lengths)
+
+    from doubleattentionspeakerverification_tpu.data.wav import read_wav
+
+    for p in paths:
+        with pytest.raises((ValueError, struct.error)):
+            read_wav(p)

@@ -116,6 +116,19 @@ def test_http_server_embed_score_health(model):
         th.join(timeout=5)
 
 
+def test_microbatcher_warmup(model):
+    batcher = MicroBatcher(model, max_batch=2, max_wait_ms=1.0, buckets=(64, 128))
+    try:
+        batcher.warmup([50, 60, 100])  # buckets 64 and 128
+        s = batcher.stats()
+        assert s == {"requests": 0, "forwards": 0, "batched": 0}  # counters reset
+        # post-warmup request works and counts normally
+        batcher.embed(_feats(40))
+        assert batcher.stats()["requests"] == 1
+    finally:
+        batcher.close()
+
+
 def test_serve_cli_parser():
     from doubleattentionspeakerverification_tpu.cli.serve import main
 
