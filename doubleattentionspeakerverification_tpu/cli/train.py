@@ -66,6 +66,9 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             device_prefetch=params.device_prefetch,
             stall_exit_s=params.stall_exit_s,
             assume_full_lengths=params.assume_full_lengths,
+            profile_dir=params.profile_dir,
+            profile_start_step=params.profile_start_step,
+            profile_steps=params.profile_steps,
         ),
         data=DataConfig(
             train_data_dir=params.train_data_dir,
@@ -164,6 +167,15 @@ def make_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16", "int16"],
                         help="host->device batch payload dtype (bfloat16 for "
                              "features / int16 for wavs halves transfer bytes)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler device trace of a window "
+                             "of steps to this directory (view in XProf/"
+                             "TensorBoard or Perfetto); empty = off")
+    parser.add_argument("--profile_start_step", type=int, default=10,
+                        help="first optimizer step of the trace window "
+                             "(default 10: past compile + warmup)")
+    parser.add_argument("--profile_steps", type=int, default=5,
+                        help="number of steps to trace")
     parser.add_argument("--assume_full_lengths", action="store_true",
                         help="all training windows are full-length: drop masking "
                              "from the compiled step (~3%% faster)")

@@ -145,6 +145,12 @@ class TrainConfig:
     # only adds GIL contention, so default off; set >0 on backends whose
     # device_put blocks AND where spare host cores exist.
     device_prefetch: int = 0
+    # jax.profiler capture of a window of optimizer steps (SURVEY §5: the
+    # reference has no tracing). Empty profile_dir = off; otherwise steps
+    # [profile_start_step, +profile_steps) are traced for XProf/Perfetto.
+    profile_dir: str = ""
+    profile_start_step: int = 10          # past the compile + warmup steps
+    profile_steps: int = 5
 
 
 @dataclass(frozen=True)

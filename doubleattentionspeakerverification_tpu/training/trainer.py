@@ -332,7 +332,13 @@ class Trainer:
         # and serialize dispatch, killing transfer/compute overlap
         metric_buf = []
         step = int(self.state.step)
+        from ..utils.profiling import StepProfiler
         from .device_prefetch import device_prefetch
+
+        profiler = StepProfiler(
+            cfg.train.profile_dir, cfg.train.profile_start_step, cfg.train.profile_steps
+        )
+        last_metrics = None
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             batches = device_prefetch(
@@ -341,8 +347,14 @@ class Trainer:
                 shardings=self._batch_shardings if self.mesh is not None else None,
             )
             for batch in batches:
+                evt = profiler.before_step(
+                    step, sync=None if last_metrics is None else last_metrics["loss"]
+                )
+                if evt:
+                    self.log.log(f"profile_{evt}", step=step, dir=cfg.train.profile_dir)
                 step_rng = jax.random.fold_in(rng0, step)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
+                last_metrics = metrics
                 metric_buf.append((metrics["loss"], metrics["accuracy"]))
                 step += 1
                 watchdog.beat(step)
@@ -377,5 +389,6 @@ class Trainer:
                 break
             self._halve_lr_if_stagnant()
         watchdog.stop()
+        profiler.close(sync=None if last_metrics is None else last_metrics["loss"])
         self._checkpointer.wait()
         self.log.log("finished", best_eer=self.best_eer)

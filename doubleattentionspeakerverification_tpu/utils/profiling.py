@@ -32,6 +32,61 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepProfiler:
+    """Trace a window of optimizer steps to ``log_dir``.
+
+    The reference has no profiler at all (SURVEY §5); here a bounded
+    ``jax.profiler`` capture of steps ``[start_step, start_step+num_steps)``
+    — long enough to see steady-state fusion/overlap in XProf/Perfetto,
+    short enough not to distort a production run. Call :meth:`before_step`
+    at the top of the step loop with the upcoming step index; pass the
+    previous step's device metrics as ``sync`` so the capture closes only
+    after real device work (on relayed backends ``block_until_ready`` does
+    not wait — a host read does).
+    """
+
+    def __init__(self, log_dir: str, start_step: int, num_steps: int):
+        self.log_dir = log_dir
+        self.start = start_step
+        self.num_steps = max(1, num_steps)
+        self.active = False
+        self.done = not log_dir
+
+    def _sync(self, sync) -> None:
+        if sync is not None:
+            import numpy as np
+
+            np.asarray(sync)  # host read = true device sync
+
+    def before_step(self, step: int, sync=None) -> Optional[str]:
+        """Returns 'started' / 'stopped' on transitions, else None."""
+        if self.done:
+            return None
+        import jax
+
+        if not self.active and step >= self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self.active = True
+            return "started"
+        if self.active and step >= self.start + self.num_steps:
+            self._sync(sync)
+            jax.profiler.stop_trace()
+            self.active = False
+            self.done = True
+            return "stopped"
+        return None
+
+    def close(self, sync=None) -> None:
+        """Stop a still-open capture (training ended inside the window)."""
+        if self.active:
+            import jax
+
+            self._sync(sync)
+            jax.profiler.stop_trace()
+            self.active = False
+            self.done = True
+
+
 class ThroughputMeter:
     """Sliding throughput counters for the training loop."""
 

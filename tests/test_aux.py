@@ -151,6 +151,47 @@ def test_profiler_trace_smoke(tmp_path):
     assert any(os.scandir(str(tmp_path / "trace")))
 
 
+def test_step_profiler_window(tmp_path):
+    """StepProfiler traces exactly [start, start+n) and writes a capture."""
+    import os
+
+    import jax.numpy as jnp
+
+    from doubleattentionspeakerverification_tpu.utils.profiling import StepProfiler
+
+    logdir = str(tmp_path / "prof")
+    p = StepProfiler(logdir, start_step=2, num_steps=2)
+    events = {}
+    x = jnp.ones((8, 8))
+    for step in range(6):
+        evt = p.before_step(step, sync=x.sum())
+        if evt:
+            events[step] = evt
+        x = x @ x
+    p.close(sync=x.sum())
+    assert events == {2: "started", 4: "stopped"}
+    assert p.done and not p.active
+    assert any(os.scandir(logdir))
+
+    # off by default: empty dir never starts
+    off = StepProfiler("", 0, 1)
+    assert off.before_step(0) is None and off.done
+
+
+def test_step_profiler_close_mid_window(tmp_path):
+    """Training ending inside the window still finalizes the capture."""
+    import os
+
+    from doubleattentionspeakerverification_tpu.utils.profiling import StepProfiler
+
+    logdir = str(tmp_path / "prof2")
+    p = StepProfiler(logdir, start_step=0, num_steps=100)
+    assert p.before_step(0) == "started"
+    p.close()
+    assert p.done and not p.active
+    assert any(os.scandir(logdir))
+
+
 def test_corrupt_checkpoint_errors_cleanly(tmp_path):
     import pytest as _pytest
 

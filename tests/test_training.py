@@ -166,6 +166,19 @@ def test_trainer_end_to_end(tmp_path):
     assert tr.best_ckpt_path and os.path.exists(tr.best_ckpt_path)
 
 
+def test_trainer_profile_window(tmp_path):
+    """--profile_dir captures a device trace of the configured step window."""
+    _make_dataset(tmp_path)
+    prof_dir = str(tmp_path / "prof")
+    cfg = _tiny_cfg(
+        tmp_path, max_epochs=2,
+        profile_dir=prof_dir, profile_start_step=1, profile_steps=2,
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    assert os.path.isdir(prof_dir) and any(os.scandir(prof_dir))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
