@@ -78,6 +78,20 @@ def test_full_cli_pipeline(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[" in out  # printed embedding vector
 
+    # 5. alignment introspection CLI from the same checkpoint
+    from doubleattentionspeakerverification_tpu.cli.alignments import main as align_main
+
+    align_npz = str(tmp_path / "align.npz")
+    rc = align_main(["--audioPath", paths[0], "--modelCheckpoint", ckpt,
+                     "--output", align_npz])
+    assert rc == 0
+    with np.load(align_npz) as z:
+        time_w, head_w = z["time_alignment"], z["head_alignment"]
+    assert time_w.ndim == 2 and time_w.shape[1] == 4  # (T', H) heads=4
+    # softmax weights: each head sums to 1 over time, head weights sum to 1
+    np.testing.assert_allclose(time_w.sum(axis=0), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(head_w.sum(), 1.0, rtol=1e-4)
+
 
 def test_reference_chkpt_import_roundtrip(tmp_path):
     """Export a reference torch checkpoint -> load through the CLI loader ->
