@@ -54,9 +54,14 @@ def main():
     from functools import partial
 
     compute_dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
+    # The bench batch is fixed full-length 3.5 s windows, so the
+    # loader-verified assume_full_lengths fast path (masking ops dropped
+    # from the compiled step) is exactly the production configuration for
+    # this workload; --masked benches the general masked step instead.
+    assume_full = "--masked" not in sys.argv
     cfg = ExperimentConfig(
         model=ModelConfig(compute_dtype=compute_dtype),
-        train=TrainConfig(),
+        train=TrainConfig(assume_full_lengths=assume_full),
     )
     g, b = cfg.train.gradient_accumulation, cfg.train.batch_size
     t = int(cfg.train.window_size * 100)  # 350 frames = 3.5 s
@@ -110,7 +115,10 @@ def main():
     eb, et = 16, 1000
     embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
     x = rng.standard_normal((eb, et, 80)).astype(np.float32)
-    lens = np.full((eb,), et, np.int32)
+    # full-length batch: lengths=None compiles the unmasked forward (same
+    # code path the embedding CLI uses for single unpadded utterances);
+    # --masked keeps masks
+    lens = np.full((eb,), et, np.int32) if not assume_full else None
     x = jax.device_put(x)
 
     scalar_of = jax.jit(lambda e: e[0, 0])
