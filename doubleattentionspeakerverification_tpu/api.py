@@ -25,7 +25,7 @@ from .evaluation.eer import cosine_scores
 
 class SpeakerEmbeddingModel:
     def __init__(self, params, model_state, cfg: ExperimentConfig,
-                 normalization: str = "cmn"):
+                 normalization: str = "cmn", quantize: str = "none"):
         import jax
 
         from .models.classifier import get_embedding
@@ -34,16 +34,32 @@ class SpeakerEmbeddingModel:
         self.model_state = model_state
         self.cfg = cfg
         self.normalization = normalization
-        self._embed = jax.jit(partial(get_embedding, cfg=cfg.model))
+        self.quantize = quantize
+        if quantize == "int8":
+            # int8 conv stack (2x MXU rate): weights quantized once here,
+            # activations dynamically per forward; tail stays fp
+            from .models.quantized import get_embedding_int8, quantize_vgg
+
+            self._qvgg = jax.device_put(quantize_vgg(params["vgg"]))
+            self._embed = jax.jit(
+                lambda p, s, x, lens: get_embedding_int8(
+                    p, self._qvgg, s, x, lens, cfg.model
+                )
+            )
+        elif quantize == "none":
+            self._embed = jax.jit(partial(get_embedding, cfg=cfg.model))
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
 
     # ------------------------------------------------------------- loaders
     @classmethod
-    def from_checkpoint(cls, path: str, normalization: str = "cmn") -> "SpeakerEmbeddingModel":
+    def from_checkpoint(cls, path: str, normalization: str = "cmn",
+                        quantize: str = "none") -> "SpeakerEmbeddingModel":
         """Load ours (.npz) or a reference torch .chkpt."""
         from .cli.get_embedding import load_model
 
         params, state, cfg = load_model(path)
-        return cls(params, state, cfg, normalization)
+        return cls(params, state, cfg, normalization, quantize=quantize)
 
     @classmethod
     def from_random_init(cls, cfg: ExperimentConfig, seed: int = 0) -> "SpeakerEmbeddingModel":

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     parser.add_argument("--embed_timeout_s", type=float, default=600.0,
                         help="per-request wait bound; the first request per "
                              "length bucket sits out an XLA compile")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                        help="'int8': run the conv encoder in int8 on the MXU "
+                             "(~2x embedding throughput; embeddings cosine-match "
+                             "fp to ~1e-3)")
     parser.add_argument("--warmup", type=str, default="",
                         help="comma-separated frame lengths (100 frames = 1 s) "
                              "whose buckets are pre-compiled before serving, "
@@ -39,7 +43,7 @@ def main(argv=None) -> int:
     params = parser.parse_args(argv)
 
     model = SpeakerEmbeddingModel.from_checkpoint(
-        params.modelCheckpoint, params.normalization
+        params.modelCheckpoint, params.normalization, quantize=params.quantize
     )
     server = make_server(model, params.host, params.port,
                          params.max_batch, params.max_wait_ms,

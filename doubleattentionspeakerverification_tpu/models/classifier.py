@@ -110,6 +110,22 @@ def _embed_trunk(
     embedding the reference taps in ``getEmbedding`` (``model.py:52-59``).
     """
     enc, enc_len = vgg_apply(params["vgg"], x, lengths, cfg)
+    return trunk_tail(params, state, enc, enc_len, cfg, train, rng)
+
+
+def trunk_tail(
+    params,
+    state: ModelState,
+    enc: jnp.ndarray,
+    enc_len: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> Tuple[jnp.ndarray, ModelState, jnp.ndarray]:
+    """Everything after the encoder: pooling -> fc1 -> fc2 -> BN(b2).
+
+    Split out so alternative encoders (e.g. the int8-quantized VGG in
+    ``models/quantized.py``) share the exact reference tail."""
     pooled, alignment = apply_pooling(
         params["pooling"], cfg.pooling_method, enc, enc_len, cfg, train=train, rng=rng
     )

@@ -1,0 +1,127 @@
+"""int8-quantized inference encoder (`models/quantized.py`)."""
+
+import jax
+import numpy as np
+
+from doubleattentionspeakerverification_tpu.config import ExperimentConfig, ModelConfig
+from doubleattentionspeakerverification_tpu.models.classifier import (
+    get_embedding,
+    init_speaker_classifier,
+)
+from doubleattentionspeakerverification_tpu.models.quantized import (
+    get_embedding_int8,
+    quantize_vgg,
+    quantized_vgg_apply,
+)
+from doubleattentionspeakerverification_tpu.models.vgg import vgg_apply
+
+
+def _tiny_cfg(**kw):
+    kw.setdefault("kernel_size", 16)
+    kw.setdefault("heads_number", 4)
+    kw.setdefault("embedding_size", 32)
+    kw.setdefault("num_spkrs", 5)
+    return ModelConfig(**kw)
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+
+
+def test_quantized_vgg_close_to_fp():
+    cfg = _tiny_cfg()
+    params, _ = init_speaker_classifier(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 50, 80)).astype(np.float32)
+    lens = np.array([50, 37, 21], np.int32)
+
+    ref, ref_len = vgg_apply(params["vgg"], x, lens, cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    out, out_len = quantized_vgg_apply(qvgg, x, lens, cfg)
+
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(out_len))
+    ref, out = np.asarray(ref), np.asarray(out)
+    # 8-bit conv stack: relative error per activation stays small
+    scale = np.abs(ref).max()
+    assert np.abs(ref - out).max() < 0.05 * scale, np.abs(ref - out).max() / scale
+
+
+def test_quantized_embedding_cosine_matches_fp():
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(1), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 60, 80)).astype(np.float32)
+    lens = np.array([60, 60, 44, 30], np.int32)
+
+    fp = np.asarray(get_embedding(params, state, x, lens, cfg))
+    q = np.asarray(get_embedding_int8(params, qvgg, state, x, lens, cfg))
+    cos = _cos(fp, q)
+    assert (cos > 0.98).all(), cos
+
+
+def test_quantized_preserves_speaker_separation():
+    """Quantization must not reorder genuine vs impostor cosine scores."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(2), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(2)
+    # two 'speakers' = two distinct feature distributions, two takes each
+    base = {s: rng.standard_normal((1, 70, 80)).astype(np.float32) for s in (0, 1)}
+    takes = []
+    for s in (0, 1):
+        for _ in range(2):
+            takes.append(base[s] + 0.3 * rng.standard_normal((1, 70, 80)).astype(np.float32))
+    x = np.concatenate(takes, 0)
+
+    fp = np.asarray(get_embedding(params, state, x, None, cfg))
+    q = np.asarray(get_embedding_int8(params, qvgg, state, x, None, cfg))
+    for e in (fp, q):
+        same = _cos(e[0:1], e[1:2])[0]
+        diff = _cos(e[0:1], e[2:3])[0]
+        assert same > diff, (same, diff)
+    # scores themselves stay close
+    assert abs(_cos(fp[0:1], fp[1:2])[0] - _cos(q[0:1], q[1:2])[0]) < 0.02
+
+
+def test_api_quantize_int8():
+    from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+
+    cfg = ExperimentConfig(model=_tiny_cfg())
+    fp_model = SpeakerEmbeddingModel.from_random_init(cfg, seed=3)
+    q_model = SpeakerEmbeddingModel(
+        fp_model.params, fp_model.model_state, cfg, quantize="int8"
+    )
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((55, 80)).astype(np.float32)
+    e_fp = fp_model.embed_features(feats)
+    e_q = q_model.embed_features(feats)
+    assert e_q.shape == e_fp.shape
+    assert _cos(e_fp[None], e_q[None])[0] > 0.98
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        SpeakerEmbeddingModel(fp_model.params, fp_model.model_state, cfg, quantize="int4")
+
+
+def test_quantized_padded_equals_unpadded():
+    """The mask invariant holds for the int8 encoder too."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(4), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(4)
+    t = 43
+    x = rng.standard_normal((1, t, 80)).astype(np.float32)
+
+    unpadded = np.asarray(get_embedding_int8(params, qvgg, state, x, None, cfg))
+    x_pad = np.zeros((1, t + 29, 80), np.float32)
+    x_pad[:, :t] = x
+    padded = np.asarray(
+        get_embedding_int8(params, qvgg, state, x_pad, np.array([t], np.int32), cfg)
+    )
+    # not bit-equal: the dynamic activation scale sees a different (padded)
+    # tensor only through its abs-max, which masking keeps identical — so
+    # this SHOULD be allclose
+    np.testing.assert_allclose(padded, unpadded, rtol=2e-4, atol=2e-4)
