@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 import pickle
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -96,7 +96,15 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
 
 
 class EmbeddingExtractor:
-    """Extract-once cache of scoring embeddings."""
+    """Extract-once cache of scoring embeddings.
+
+    Pipeline design (vs the reference's serial per-trial loop,
+    ``train.py:117-133``): features load on a host thread pool, every
+    bucketed batch is *dispatched* to the device before any result is
+    fetched (JAX dispatch is async, so transfers and forwards of batch
+    i+1 overlap the host reading batch i's output), and results are
+    drained once at the end.
+    """
 
     def __init__(
         self,
@@ -107,6 +115,8 @@ class EmbeddingExtractor:
         batch_size: int = 8,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         embed_fn=None,
+        num_workers: int = 4,
+        mesh=None,
     ):
         self.params = params
         self.state = state
@@ -115,19 +125,38 @@ class EmbeddingExtractor:
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
         self.cache: Dict[str, np.ndarray] = {}
+        self.num_workers = max(1, num_workers)
         # embed_fn may be shared across extractors so XLA compilations for
         # each bucket shape are reused across validation rounds
         self._embed = embed_fn or jax.jit(functools.partial(get_embedding, cfg=cfg))
+        # with a ('data','model') mesh, embed batches shard over 'data':
+        # validation forwards run data-parallel across the slice
+        self._x_sharding = self._len_sharding = None
+        if mesh is not None and self.batch_size % mesh.shape[mesh.axis_names[0]] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_axis = mesh.axis_names[0]
+            self._x_sharding = NamedSharding(mesh, P(data_axis))
+            self._len_sharding = NamedSharding(mesh, P(data_axis))
+
+    def _load_all(self, todo: List[str]) -> Dict[str, np.ndarray]:
+        if len(todo) <= 1 or self.num_workers == 1:
+            return {u: self.load(u) for u in todo}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            return dict(zip(todo, ex.map(self.load, todo)))
 
     def extract(self, utt_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         todo = sorted(set(u for u in utt_ids if u not in self.cache))
         if not todo:
             return self.cache
-        feats = {u: self.load(u) for u in todo}
+        feats = self._load_all(todo)
         by_bucket: Dict[int, List[str]] = {}
         for u in todo:
             by_bucket.setdefault(bucket_for(feats[u].shape[0], self.buckets), []).append(u)
 
+        pending: List[Tuple[List[str], Any]] = []
         for bucket, utts in sorted(by_bucket.items()):
             for i in range(0, len(utts), self.batch_size):
                 chunk = utts[i : i + self.batch_size]
@@ -138,9 +167,15 @@ class EmbeddingExtractor:
                     f = feats[u]
                     x[j, : f.shape[0]] = f
                     lengths[j] = f.shape[0]
-                emb = np.asarray(self._embed(self.params, self.state, x, lengths))
-                for j, u in enumerate(chunk):
-                    self.cache[u] = emb[j]
+                if self._x_sharding is not None:
+                    x = jax.device_put(x, self._x_sharding)
+                    lengths = jax.device_put(lengths, self._len_sharding)
+                # async dispatch: don't block on the result here
+                pending.append((chunk, self._embed(self.params, self.state, x, lengths)))
+        for chunk, emb in pending:
+            emb = np.asarray(emb)
+            for j, u in enumerate(chunk):
+                self.cache[u] = emb[j]
         return self.cache
 
 

@@ -155,6 +155,8 @@ class Trainer:
             cfg.model,
             loader,
             embed_fn=self._embed_jit,
+            num_workers=max(1, cfg.data.num_workers),
+            mesh=self.mesh,
         )
         clients = load_trials(cfg.data.valid_clients)
         impostors = load_trials(cfg.data.valid_impostors)

@@ -142,3 +142,47 @@ def test_extractor_embeds_full_length_beyond_buckets():
         get_embedding(params, state, feats["long"][None], np.array([120], np.int32), cfg=cfg)
     )[0]
     np.testing.assert_allclose(cache["long"], direct, atol=1e-5)
+
+
+def test_extractor_mesh_sharded_matches_unsharded():
+    """Validation embeds shard over the mesh 'data' axis and must match the
+    single-device result (multi-chip EER validation path)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from doubleattentionspeakerverification_tpu.config import MeshConfig, ModelConfig
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        EmbeddingExtractor,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4)
+    params, state = init_speaker_classifier(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    feats = {
+        f"u{i}": rng.standard_normal((30 + 7 * i, 80)).astype(np.float32)
+        for i in range(10)
+    }
+    load = lambda u: feats[u]  # noqa: E731
+
+    plain = EmbeddingExtractor(params, state, cfg, load, batch_size=8, num_workers=1)
+    mesh = make_mesh(MeshConfig(model_axis=2))
+    sharded = EmbeddingExtractor(
+        params, state, cfg, load, batch_size=8, num_workers=4, mesh=mesh
+    )
+    assert sharded._x_sharding is not None
+    ids = sorted(feats)
+    a = plain.extract(ids)
+    b = sharded.extract(ids)
+    for u in ids:
+        np.testing.assert_allclose(a[u], b[u], atol=1e-5)
+
+    # batch not divisible by the data axis -> sharding quietly disabled
+    odd = EmbeddingExtractor(params, state, cfg, load, batch_size=3, mesh=mesh)
+    assert odd._x_sharding is None

@@ -67,8 +67,10 @@ def test_quantized_preserves_speaker_separation():
     params, state = init_speaker_classifier(jax.random.PRNGKey(2), cfg)
     qvgg = quantize_vgg(params["vgg"])
     rng = np.random.default_rng(2)
-    # two 'speakers' = two distinct feature distributions, two takes each
-    base = {s: rng.standard_normal((1, 70, 80)).astype(np.float32) for s in (0, 1)}
+    # two 'speakers' = two constant per-band offsets (a signal that survives
+    # the attention pooling's time-average; zero-mean noise bases don't — an
+    # untrained net maps those to embeddings identical to ~1e-6), 2 takes each
+    base = {s: 3.0 * rng.standard_normal((1, 1, 80)).astype(np.float32) for s in (0, 1)}
     takes = []
     for s in (0, 1):
         for _ in range(2):
@@ -77,7 +79,10 @@ def test_quantized_preserves_speaker_separation():
 
     fp = np.asarray(get_embedding(params, state, x, None, cfg))
     q = np.asarray(get_embedding_int8(params, qvgg, state, x, None, cfg))
-    for e in (fp, q):
+    # untrained embeddings carry a large input-independent component (fc
+    # biases) that pushes every cosine to ~1 and makes raw ordering noise;
+    # center across the batch so the comparison sees input-driven structure
+    for e in (fp - fp.mean(0, keepdims=True), q - q.mean(0, keepdims=True)):
         same = _cos(e[0:1], e[1:2])[0]
         diff = _cos(e[0:1], e[2:3])[0]
         assert same > diff, (same, diff)
