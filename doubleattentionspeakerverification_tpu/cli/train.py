@@ -79,6 +79,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             source=params.data_source,
             host_dsp=params.host_dsp,
             num_workers=params.num_workers,
+            valid_feature_cache_mb=params.valid_feature_cache_mb,
         ),
         mesh=MeshConfig(model_axis=params.model_parallel),
     )
@@ -134,6 +135,9 @@ def make_parser() -> argparse.ArgumentParser:
                              "optimizer step instead of the newest")
     parser.add_argument("--validate_every", type=int, default=10000)
     parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--valid_feature_cache_mb", type=float, default=512.0,
+                        help="host RAM budget for caching validation features "
+                             "across validation rounds (0 disables)")
     # TPU-native extensions
     parser.add_argument("--data_source", type=str, default="features", choices=["features", "wav"],
                         help="'features': reference-format pickles; 'wav': on-device log-mel")

@@ -174,6 +174,10 @@ class DataConfig:
     num_workers: int = 2
     prefetch: int = 2
     use_native_loader: bool = True        # C++ wav decoder / prefetcher when built
+    # host-RAM budget for caching validation features across validation
+    # rounds (they are immutable between rounds; the reference re-reads every
+    # utterance from disk twice per trial pair, train.py:117-133). 0 disables.
+    valid_feature_cache_mb: float = 512.0
 
 
 @dataclass(frozen=True)

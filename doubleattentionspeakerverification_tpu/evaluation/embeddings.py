@@ -83,6 +83,35 @@ def wav_feature_loader(
     return load
 
 
+class FeatureCache:
+    """Byte-budgeted host cache around a feature loader.
+
+    Validation runs every ``validate_every`` steps, and the reference re-reads
+    (and re-normalizes) every trial utterance from disk each time — twice per
+    pair (``train.py:117-133``). The *embeddings* must be recomputed each
+    round (the params changed), but the features did not: cache them on the
+    host across rounds, up to ``budget_mb``. Insertion simply stops at the
+    budget (no eviction — validation sets are a fixed working set, so LRU
+    would only add churn). Thread-safe under the loader thread pool: worst
+    case two threads load the same utterance once, and dict insertion is
+    atomic under the GIL.
+    """
+
+    def __init__(self, loader: Callable[[str], np.ndarray], budget_mb: float = 512.0):
+        self._loader = loader
+        self._cache: Dict[str, np.ndarray] = {}
+        self._budget = int(budget_mb * 1e6)
+
+    def __call__(self, utt_id: str) -> np.ndarray:
+        feats = self._cache.get(utt_id)
+        if feats is None:
+            feats = self._loader(utt_id)
+            if self._budget >= feats.nbytes:
+                self._budget -= feats.nbytes
+                self._cache[utt_id] = feats
+        return feats
+
+
 def bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:

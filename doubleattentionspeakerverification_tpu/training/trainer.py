@@ -26,6 +26,7 @@ from ..data.dataset import FeaturePickleSource, TrainLoader, WavSource
 from ..data.manifest import load_train_manifest, load_trials
 from ..evaluation.embeddings import (
     EmbeddingExtractor,
+    FeatureCache,
     pickle_feature_loader,
     validate_eer,
 )
@@ -94,6 +95,7 @@ class Trainer:
         self.best_ckpt_path: Optional[str] = None
         self._print_t0 = time.time()
         self._pause_s = 0.0
+        self._valid_loader = None
         self._checkpointer = AsyncCheckpointer()
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
@@ -137,9 +139,13 @@ class Trainer:
             return None
 
     # -------------------------------------------------------------- validate
-    def validate(self) -> Dict[str, float]:
+    def _valid_feature_loader(self):
+        """Validation feature loader, cached across validation rounds: the
+        params change between rounds (embeddings must be recomputed) but the
+        features on disk do not."""
+        if self._valid_loader is not None:
+            return self._valid_loader
         cfg = self.cfg
-        t0 = time.time()
         if cfg.data.source == "wav":
             from ..evaluation.embeddings import wav_feature_loader
 
@@ -149,6 +155,15 @@ class Trainer:
             )
         else:
             loader = pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization)
+        if cfg.data.valid_feature_cache_mb > 0:
+            loader = FeatureCache(loader, cfg.data.valid_feature_cache_mb)
+        self._valid_loader = loader
+        return loader
+
+    def validate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        t0 = time.time()
+        loader = self._valid_feature_loader()
         extractor = EmbeddingExtractor(
             self.state.params,
             self.state.model_state,

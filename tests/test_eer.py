@@ -186,3 +186,24 @@ def test_extractor_mesh_sharded_matches_unsharded():
     # batch not divisible by the data axis -> sharding quietly disabled
     odd = EmbeddingExtractor(params, state, cfg, load, batch_size=3, mesh=mesh)
     assert odd._x_sharding is None
+
+
+def test_feature_cache_budget_and_hits():
+    """FeatureCache: repeated loads hit the cache; budget caps insertion."""
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import FeatureCache
+
+    calls = []
+
+    def loader(u):
+        calls.append(u)
+        return np.zeros((100, 80), np.float32)  # 32 kB
+
+    cache = FeatureCache(loader, budget_mb=0.07)  # fits two utterances
+    for _ in range(3):
+        cache("a")
+        cache("b")
+    assert calls == ["a", "b"]  # everything after the first round is a hit
+    for _ in range(2):
+        cache("c")  # over budget: loaded every time, never inserted
+    assert calls == ["a", "b", "c", "c"]
+    np.testing.assert_array_equal(cache("a"), np.zeros((100, 80), np.float32))

@@ -634,3 +634,32 @@ def test_resume_by_explicit_step(tmp_path):
     assert t2.resume(step=1)
     assert int(t2.state.step) == 1
     assert not t2.resume(step=999)  # step with no checkpoint -> False
+
+
+def test_validation_features_cached_across_rounds(tmp_path):
+    """The second validation round must not touch disk: features are cached
+    across rounds (the params change between rounds, the features don't)."""
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import FeatureCache
+
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path)
+    tr = Trainer(cfg)
+    r1 = tr.validate()
+    cache = tr._valid_loader
+    assert isinstance(cache, FeatureCache)
+
+    def boom(u):
+        raise AssertionError(f"disk read for {u} on a warm cache")
+
+    cache._loader = boom
+    r2 = tr.validate()  # params unchanged -> identical scores, zero disk reads
+    assert r2["eer"] == r1["eer"]
+
+    # cache disabled -> raw loader, second round re-reads
+    cfg0 = _tiny_cfg(tmp_path)
+    cfg0 = ExperimentConfig.from_dict(
+        {**cfg0.to_dict(), "data": {**cfg0.to_dict()["data"], "valid_feature_cache_mb": 0.0}}
+    )
+    tr0 = Trainer(cfg0)
+    tr0.validate()
+    assert not isinstance(tr0._valid_loader, FeatureCache)
