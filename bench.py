@@ -18,6 +18,7 @@ measured audio-s/s per chip against that estimate.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,7 +29,29 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def main():
+    if os.environ.get("DMHA_BENCH_HANG_ONCE"):
+        # test hook for the watchdog harness: wedge the FIRST attempt
+        # (marker file absent), run normally on the retry
+        marker = os.environ["DMHA_BENCH_HANG_ONCE"]
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("hung")
+            time.sleep(3600)
+
+    if os.environ.get("DMHA_BENCH_FAKE_RESULT"):
+        # test hook: emit a canned result without touching jax, so the
+        # watchdog harness is testable in seconds
+        print(os.environ["DMHA_BENCH_FAKE_RESULT"], flush=True)
+        return
+
     import jax
+
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        # tiny-model CPU mode: exercises the full bench path (both timing
+        # chains, the JSON contract) without TPU access; used by tests and
+        # as a fast sanity check of the harness itself
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compilation cache: repeat bench runs skip the ~2 min
     # flagship-step compile where the backend honors it
@@ -59,10 +82,17 @@ def main():
     # from the compiled step) is exactly the production configuration for
     # this workload; --masked benches the general masked step instead.
     assume_full = "--masked" not in sys.argv
-    cfg = ExperimentConfig(
-        model=ModelConfig(compute_dtype=compute_dtype),
-        train=TrainConfig(assume_full_lengths=assume_full),
-    )
+    model_cfg = ModelConfig(compute_dtype=compute_dtype)
+    train_cfg = TrainConfig(assume_full_lengths=assume_full)
+    if smoke:
+        model_cfg = ModelConfig(
+            compute_dtype=compute_dtype, kernel_size=16, heads_number=4,
+            embedding_size=32, num_spkrs=64,
+        )
+        train_cfg = TrainConfig(
+            assume_full_lengths=assume_full, batch_size=4, gradient_accumulation=2
+        )
+    cfg = ExperimentConfig(model=model_cfg, train=train_cfg)
     g, b = cfg.train.gradient_accumulation, cfg.train.batch_size
     t = int(cfg.train.window_size * 100)  # 350 frames = 3.5 s
     window_audio_s = cfg.train.window_size
@@ -112,7 +142,7 @@ def main():
     state = state_box[0]
 
     # ---- embedding throughput (10 s utterances, batch 16)
-    eb, et = 16, 1000
+    eb, et = (4, 200) if smoke else (16, 1000)
     embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
     x = rng.standard_normal((eb, et, 80)).astype(np.float32)
     # full-length batch: lengths=None compiles the unmasked forward (same
@@ -198,10 +228,50 @@ def main():
             "compute_dtype": compute_dtype,
             "batch": f"{g}x{b}x{t}",
             "device": str(jax.devices()[0]),
+            **({"smoke": True} if smoke else {}),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def _run_with_watchdog() -> int:
+    """Run the measurement in a child process with a timeout + retry.
+
+    The relayed TPU backend intermittently wedges inside a backend call
+    (observed on first-compiles and even trivial dispatches; a wedged RPC
+    cannot be unwound in-process — see Trainer's stall_exit for the same
+    issue). A fresh process gets a fresh relay connection, so: kill the
+    exact child on timeout and retry. The persistent compilation cache
+    makes a post-compile retry cheap. Tunables:
+    DMHA_BENCH_ATTEMPTS (default 2), DMHA_BENCH_ATTEMPT_TIMEOUT_S (default
+    540). The child prints the single JSON line; the parent forwards it.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("DMHA_BENCH_ATTEMPTS", "2"))
+    timeout_s = float(os.environ.get("DMHA_BENCH_ATTEMPT_TIMEOUT_S", "540"))
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner", *sys.argv[1:]]
+    last_err = "no attempts ran"
+    for i in range(1, attempts + 1):
+        try:
+            r = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=timeout_s)
+            out = r.stdout.decode(errors="replace")
+            line = next(
+                (l for l in out.splitlines() if l.startswith('{"metric"')), None
+            )
+            if r.returncode == 0 and line:
+                print(line, flush=True)
+                return 0
+            last_err = f"exit code {r.returncode}, json line missing"
+        except subprocess.TimeoutExpired:
+            last_err = f"timed out after {timeout_s:.0f}s (wedged backend call?)"
+        print(f"bench attempt {i}/{attempts}: {last_err}", file=sys.stderr, flush=True)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv or os.environ.get("DMHA_BENCH_NO_WATCHDOG"):
+        sys.argv = [a for a in sys.argv if a != "--inner"]
+        main()
+    else:
+        sys.exit(_run_with_watchdog())
