@@ -47,6 +47,13 @@ def main(argv=None) -> int:
     p.add_argument("--normalization", type=str, default="cmn",
                    choices=["cmn", "cmvn"])
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--save_embeddings", type=str, default=None,
+                   help="write every embedding computed during scoring to "
+                        "this .npz (embedding store; reusable across runs)")
+    p.add_argument("--load_embeddings", type=str, default=None,
+                   help="seed the embedding cache from a previous "
+                        "--save_embeddings store; only utterances missing "
+                        "from it are run through the model")
     args = p.parse_args(argv)
 
     if (args.clients is None) != (args.impostors is None):
@@ -62,6 +69,10 @@ def main(argv=None) -> int:
     extractor = EmbeddingExtractor(
         params, state, cfg.model, loader, batch_size=args.batch_size
     )
+    if args.load_embeddings:
+        from ..evaluation.embeddings import load_embeddings
+
+        extractor.cache.update(load_embeddings(args.load_embeddings))
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     try:
@@ -85,6 +96,11 @@ def main(argv=None) -> int:
             # so this recomputes only the cosines)
             summary.update(validate_eer(extractor, cl_trials, im_trials))
             summary.update(n_clients=len(cl_trials), n_impostors=len(im_trials))
+        if args.save_embeddings:
+            from ..evaluation.embeddings import save_embeddings
+
+            save_embeddings(args.save_embeddings, extractor.cache)
+            summary["embeddings_saved"] = len(extractor.cache)
         print(" ".join(f"{k}={v}" for k, v in summary.items()), file=sys.stderr)
     finally:
         if out is not sys.stdout:

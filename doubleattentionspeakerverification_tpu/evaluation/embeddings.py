@@ -208,6 +208,27 @@ class EmbeddingExtractor:
         return self.cache
 
 
+def save_embeddings(path: str, embeddings: Dict[str, np.ndarray]) -> None:
+    """Persist an utterance->embedding map (.npz: id array + row matrix).
+
+    Utterance ids may contain characters that are not valid npz member names
+    (slashes, dashes), so ids are stored as one unicode array aligned with
+    the embedding matrix rows rather than as per-key members.
+    """
+    ids = sorted(embeddings)
+    np.savez_compressed(
+        path,
+        ids=np.asarray(ids, dtype=np.str_),
+        embeddings=np.stack([embeddings[u] for u in ids]).astype(np.float32),
+    )
+
+
+def load_embeddings(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        ids, embs = z["ids"], z["embeddings"]
+    return {str(u): embs[i] for i, u in enumerate(ids)}
+
+
 def score_trials(
     extractor: EmbeddingExtractor, trials: Sequence[Tuple[str, str]]
 ) -> np.ndarray:

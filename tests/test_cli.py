@@ -331,3 +331,63 @@ def test_bench_watchdog_recovers_from_wedged_attempt(tmp_path):
     )
     assert r.returncode != 0
     assert '"metric"' not in r.stdout
+
+
+def test_score_trials_embedding_store(tmp_path):
+    """--save_embeddings writes a reusable store; --load_embeddings scores
+    from it without running the model (missing utterances still computed)."""
+    import pickle as pkl
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.cli.score_trials import main as score_main
+    from doubleattentionspeakerverification_tpu.config import ExperimentConfig, ModelConfig
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        load_embeddings,
+        save_embeddings,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import init_train_state
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4)
+    )
+    p, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    ck = str(tmp_path / "m_1.npz")
+    save_checkpoint(ck, init_train_state(p, ms, cfg), {"config": cfg.to_dict()})
+
+    rng = np.random.default_rng(0)
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    for u in ("a", "b"):
+        with open(feats / f"{u}.pickle", "wb") as f:
+            pkl.dump(rng.standard_normal((80, 70)).astype(np.float32), f)
+    (tmp_path / "tr.ndx").write_text("a b\n")
+    store = str(tmp_path / "embs.npz")
+
+    out1 = str(tmp_path / "s1.txt")
+    assert score_main([
+        "--modelCheckpoint", ck, "--data_dir", str(feats),
+        "--trials", str(tmp_path / "tr.ndx"), "--output", out1,
+        "--save_embeddings", store,
+    ]) == 0
+    embs = load_embeddings(store)
+    assert set(embs) == {"a", "b"} and embs["a"].shape == (16,)
+
+    # round-trip helper sanity (ids with slashes survive)
+    save_embeddings(str(tmp_path / "e2.npz"), {"spk1/x": embs["a"]})
+    assert set(load_embeddings(str(tmp_path / "e2.npz"))) == {"spk1/x"}
+
+    # poison the features: scoring from the store must not read them
+    for u in ("a", "b"):
+        (feats / f"{u}.pickle").write_bytes(b"not a pickle")
+    out2 = str(tmp_path / "s2.txt")
+    assert score_main([
+        "--modelCheckpoint", ck, "--data_dir", str(feats),
+        "--trials", str(tmp_path / "tr.ndx"), "--output", out2,
+        "--load_embeddings", store,
+    ]) == 0
+    assert open(out1).read() == open(out2).read()
