@@ -36,6 +36,12 @@ def main(argv=None) -> int:
                         help="'int8': run the conv encoder in int8 on the MXU "
                              "(~2x embedding throughput; embeddings cosine-match "
                              "fp to ~1e-3)")
+    parser.add_argument("--enrollment_db", type=str, default=None,
+                        help="persist speaker enrollments to this .npz "
+                             "(loaded at startup, written on every change)")
+    parser.add_argument("--verify_threshold", type=float, default=0.5,
+                        help="default cosine threshold for /verify decisions "
+                             "(override per request with ?threshold=)")
     parser.add_argument("--warmup", type=str, default="",
                         help="comma-separated frame lengths (100 frames = 1 s) "
                              "whose buckets are pre-compiled before serving, "
@@ -47,7 +53,9 @@ def main(argv=None) -> int:
     )
     server = make_server(model, params.host, params.port,
                          params.max_batch, params.max_wait_ms,
-                         embed_timeout_s=params.embed_timeout_s)
+                         embed_timeout_s=params.embed_timeout_s,
+                         enrollment_db=params.enrollment_db,
+                         verify_threshold=params.verify_threshold)
     if params.warmup:
         lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
         print(f"warming up buckets for frame lengths {lengths} ...")

@@ -16,17 +16,29 @@ concurrent requests should share padded batches. This module provides
     POST /embed             -> body: RIFF/WAVE bytes; {"embedding": [...]}
     POST /score             -> {"a": [emb], "b": [emb]} -> {"score": cos}
 
+plus speaker enrollment (:class:`EnrollmentDB` — the verification workflow
+the reference leaves to the user: enroll N utterances per speaker, verify
+against the speaker's centroid, identify against all enrolled speakers):
+
+    POST /enroll?speaker=s  -> body: WAV; {"speaker": s, "enrollments": n}
+    POST /verify?speaker=s  -> body: WAV; {"score": cos, "decision": bool}
+    POST /identify?top_k=3  -> body: WAV; {"speakers": [{speaker, score}]}
+    GET  /speakers          -> {"speakers": {s: n_enrollments}}
+    POST /unenroll?speaker=s-> {"removed": n}
+
 CLI: ``python -m doubleattentionspeakerverification_tpu.cli.serve``.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -154,6 +166,92 @@ class MicroBatcher:
                         p.event.set()
 
 
+class EnrollmentDB:
+    """Thread-safe speaker-enrollment store.
+
+    Each speaker keeps every enrollment embedding; the speaker model is the
+    renormalized mean of the L2-normalized enrollments (the standard
+    multi-enrollment centroid — robust to per-utterance norm differences,
+    and cosine against it equals the mean pairwise cosine up to the
+    renormalization). Optional persistence to one .npz (ids = "speaker"
+    per row, aligned with the embedding matrix), written atomically on
+    every mutation when ``path`` is given.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self._by_speaker: Dict[str, List[np.ndarray]] = {}
+        self._lock = threading.Lock()
+        self._path = path
+        if path and os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                for spk, emb in zip(z["ids"], z["embeddings"]):
+                    self._by_speaker.setdefault(str(spk), []).append(
+                        np.asarray(emb, np.float32)
+                    )
+
+    def _save_locked(self) -> None:
+        if not self._path:
+            return
+        ids, rows = [], []
+        for spk in sorted(self._by_speaker):
+            for e in self._by_speaker[spk]:
+                ids.append(spk)
+                rows.append(e)
+        tmp = self._path + ".tmp.npz"
+        np.savez_compressed(
+            tmp,
+            ids=np.asarray(ids, dtype=np.str_),
+            embeddings=(
+                np.stack(rows).astype(np.float32) if rows else np.zeros((0, 1), np.float32)
+            ),
+        )
+        os.replace(tmp, self._path)
+
+    def enroll(self, speaker: str, embedding: np.ndarray) -> int:
+        with self._lock:
+            self._by_speaker.setdefault(speaker, []).append(
+                np.asarray(embedding, np.float32)
+            )
+            self._save_locked()
+            return len(self._by_speaker[speaker])
+
+    def unenroll(self, speaker: str) -> int:
+        with self._lock:
+            removed = len(self._by_speaker.pop(speaker, []))
+            if removed:
+                self._save_locked()
+            return removed
+
+    def speakers(self) -> Dict[str, int]:
+        with self._lock:
+            return {s: len(v) for s, v in self._by_speaker.items()}
+
+    def centroid(self, speaker: str) -> Optional[np.ndarray]:
+        with self._lock:
+            embs = self._by_speaker.get(speaker)
+            if not embs:
+                return None
+            unit = np.stack(
+                [e / max(1e-12, float(np.linalg.norm(e))) for e in embs]
+            )
+            c = unit.mean(axis=0)
+            return c / max(1e-12, float(np.linalg.norm(c)))
+
+    def score(self, embedding: np.ndarray, speaker: str) -> Optional[float]:
+        c = self.centroid(speaker)
+        if c is None:
+            return None
+        return float(cosine_scores(np.asarray(embedding, np.float32)[None], c[None])[0])
+
+    def identify(self, embedding: np.ndarray, top_k: int = 3) -> List[Dict]:
+        names = list(self.speakers())
+        scored = [
+            {"speaker": s, "score": self.score(embedding, s)} for s in names
+        ]
+        scored.sort(key=lambda d: -d["score"])
+        return scored[: max(1, top_k)]
+
+
 def make_server(
     model: SpeakerEmbeddingModel,
     host: str = "127.0.0.1",
@@ -161,10 +259,13 @@ def make_server(
     max_batch: int = 8,
     max_wait_ms: float = 5.0,
     embed_timeout_s: float = 600.0,
+    enrollment_db: Optional[str] = None,
+    verify_threshold: float = 0.5,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
                            embed_timeout_s=embed_timeout_s)
+    db = EnrollmentDB(enrollment_db)
     t0 = time.time()
 
     # Feature extraction for uploads: native host kernel when built (no XLA
@@ -190,14 +291,28 @@ def make_server(
             self.end_headers()
             self.wfile.write(body)
 
+        def _embed_body(self, body: bytes) -> np.ndarray:
+            wave, sr = decode_wav_bytes(body)
+            cfg = model.cfg.features
+            if sr != cfg.sample_rate:
+                from .config import FeatureConfig
+
+                cfg = FeatureConfig(sample_rate=sr)
+            feats = extract(wave, cfg)
+            self._frames = int(feats.shape[0])
+            return batcher.embed(feats)
+
         def do_GET(self):
-            if self.path.split("?")[0] == "/health":
+            path = self.path.split("?")[0]
+            if path == "/health":
                 self._json(200, {
                     "status": "ok",
                     "model": model.cfg.derived_model_name(),
                     "uptime_s": round(time.time() - t0, 1),
                     **batcher.stats(),
                 })
+            elif path == "/speakers":
+                self._json(200, {"speakers": db.speakers()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -205,20 +320,45 @@ def make_server(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
-                path = self.path.split("?")[0]
+                parsed = urllib.parse.urlparse(self.path)
+                query = dict(urllib.parse.parse_qsl(parsed.query))
+                path = parsed.path
                 if path == "/embed":
-                    wave, sr = decode_wav_bytes(body)
-                    cfg = model.cfg.features
-                    if sr != cfg.sample_rate:
-                        from .config import FeatureConfig
-
-                        cfg = FeatureConfig(sample_rate=sr)
-                    feats = extract(wave, cfg)
-                    emb = batcher.embed(feats)
+                    emb = self._embed_body(body)
                     self._json(200, {
                         "embedding": [float(v) for v in emb],
-                        "frames": int(feats.shape[0]),
+                        "frames": self._frames,
                     })
+                elif path == "/enroll":
+                    speaker = query.get("speaker")
+                    if not speaker:
+                        return self._json(400, {"error": "missing ?speaker="})
+                    count = db.enroll(speaker, self._embed_body(body))
+                    self._json(200, {"speaker": speaker, "enrollments": count})
+                elif path == "/verify":
+                    speaker = query.get("speaker")
+                    if not speaker:
+                        return self._json(400, {"error": "missing ?speaker="})
+                    score = db.score(self._embed_body(body), speaker)
+                    if score is None:
+                        return self._json(404, {"error": f"speaker {speaker!r} not enrolled"})
+                    thr = float(query.get("threshold", verify_threshold))
+                    self._json(200, {
+                        "speaker": speaker,
+                        "score": score,
+                        "threshold": thr,
+                        "decision": bool(score >= thr),
+                    })
+                elif path == "/identify":
+                    if not db.speakers():
+                        return self._json(404, {"error": "no speakers enrolled"})
+                    top_k = int(query.get("top_k", 3))
+                    self._json(200, {"speakers": db.identify(self._embed_body(body), top_k)})
+                elif path == "/unenroll":
+                    speaker = query.get("speaker")
+                    if not speaker:
+                        return self._json(400, {"error": "missing ?speaker="})
+                    self._json(200, {"speaker": speaker, "removed": db.unenroll(speaker)})
                 elif path == "/score":
                     req = json.loads(body)
                     a = np.asarray(req["a"], np.float32)
@@ -231,6 +371,7 @@ def make_server(
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # for tests / clean shutdown
+    server.enrollments = db
     return server
 
 

@@ -134,3 +134,88 @@ def test_serve_cli_parser():
 
     with pytest.raises(SystemExit):  # required flag missing
         main([])
+
+
+def test_enrollment_db_unit(tmp_path):
+    from doubleattentionspeakerverification_tpu.serving import EnrollmentDB
+
+    path = str(tmp_path / "db.npz")
+    db = EnrollmentDB(path)
+    rng = np.random.default_rng(0)
+    a1, a2 = rng.standard_normal(16), rng.standard_normal(16)
+    assert db.enroll("alice", a1) == 1
+    assert db.enroll("alice", a2) == 2
+    db.enroll("bob", rng.standard_normal(16))
+    assert db.speakers() == {"alice": 2, "bob": 1}
+
+    # centroid is the renormalized mean of unit vectors
+    unit = np.stack([a1 / np.linalg.norm(a1), a2 / np.linalg.norm(a2)])
+    want = unit.mean(axis=0)
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(db.centroid("alice"), want, atol=1e-6)
+    assert db.score(a1, "alice") > db.score(a1, "bob")
+    top = db.identify(a1, top_k=2)
+    assert top[0]["speaker"] == "alice" and top[0]["score"] >= top[1]["score"]
+    assert db.score(a1, "ghost") is None
+
+    # persistence round-trip
+    db2 = EnrollmentDB(path)
+    assert db2.speakers() == {"alice": 2, "bob": 1}
+    np.testing.assert_allclose(db2.centroid("alice"), want, atol=1e-6)
+    assert db2.unenroll("alice") == 2
+    assert EnrollmentDB(path).speakers() == {"bob": 1}
+
+
+def test_http_enrollment_endpoints(model, tmp_path):
+    server = make_server(
+        model, port=0, max_batch=2, max_wait_ms=1.0,
+        enrollment_db=str(tmp_path / "enr.npz"), verify_threshold=0.0,
+    )
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, data):
+            req = urllib.request.Request(base + path, data=data, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        r = post("/enroll?speaker=alice", _wav_bytes(seed=1))
+        assert r == {"speaker": "alice", "enrollments": 1}
+        assert post("/enroll?speaker=alice", _wav_bytes(seed=2))["enrollments"] == 2
+        post("/enroll?speaker=bob", _wav_bytes(seed=3))
+
+        with urllib.request.urlopen(base + "/speakers", timeout=10) as resp:
+            assert json.loads(resp.read())["speakers"] == {"alice": 2, "bob": 1}
+
+        v = post("/verify?speaker=alice", _wav_bytes(seed=1))
+        assert v["speaker"] == "alice" and -1.0 <= v["score"] <= 1.0
+        assert v["decision"] == (v["score"] >= 0.0)
+        # per-request threshold override
+        v2 = post("/verify?speaker=alice&threshold=2.0", _wav_bytes(seed=1))
+        assert v2["decision"] is False and v2["threshold"] == 2.0
+
+        ident = post("/identify?top_k=2", _wav_bytes(seed=1))
+        assert len(ident["speakers"]) == 2
+        assert {d["speaker"] for d in ident["speakers"]} == {"alice", "bob"}
+
+        # unknown speaker -> 404
+        req = urllib.request.Request(
+            base + "/verify?speaker=ghost", data=_wav_bytes(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 404
+
+        assert post("/unenroll?speaker=alice", b"")["removed"] == 2
+
+        # persistence survives a server rebuild
+        from doubleattentionspeakerverification_tpu.serving import EnrollmentDB
+
+        assert EnrollmentDB(str(tmp_path / "enr.npz")).speakers() == {"bob": 1}
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
