@@ -245,8 +245,12 @@ class EnrollmentDB:
 
     def identify(self, embedding: np.ndarray, top_k: int = 3) -> List[Dict]:
         names = list(self.speakers())
+        # score() returns None if the speaker was unenrolled between the
+        # snapshot above and now — drop those instead of sorting None
         scored = [
-            {"speaker": s, "score": self.score(embedding, s)} for s in names
+            {"speaker": s, "score": sc}
+            for s in names
+            if (sc := self.score(embedding, s)) is not None
         ]
         scored.sort(key=lambda d: -d["score"])
         return scored[: max(1, top_k)]
@@ -295,9 +299,12 @@ def make_server(
             wave, sr = decode_wav_bytes(body)
             cfg = model.cfg.features
             if sr != cfg.sample_rate:
-                from .config import FeatureConfig
+                import dataclasses
 
-                cfg = FeatureConfig(sample_rate=sr)
+                # keep every configured front-end constant (n_mels, n_fft,
+                # pre-emphasis, ...); only the rate — and with it the
+                # ms-denominated win/hop lengths — follows the upload
+                cfg = dataclasses.replace(cfg, sample_rate=sr, fmax=None)
             feats = extract(wave, cfg)
             self._frames = int(feats.shape[0])
             return batcher.embed(feats)
