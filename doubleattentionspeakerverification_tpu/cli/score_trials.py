@@ -5,7 +5,9 @@ The reference only scores trials inside the training loop's validation
 production use this CLI scores a trial list against a checkpoint: unique
 utterances embedded once (length-bucketed batches), cosine per pair, one
 ``utt1 utt2 score`` line per trial, optional EER/minDCF summary when client
-and impostor lists are given.
+and impostor lists are given, and optional AS-Norm/S-norm score
+normalization against a cohort (``--cohort`` id list and/or
+``--cohort_embeddings`` store, ``--snorm_topk``; see ``evaluation/snorm.py``).
 
   python -m doubleattentionspeakerverification_tpu.cli.score_trials \
       --modelCheckpoint run1/..._best.npz --data_dir feats/ \
@@ -54,6 +56,16 @@ def main(argv=None) -> int:
                    help="seed the embedding cache from a previous "
                         "--save_embeddings store; only utterances missing "
                         "from it are run through the model")
+    p.add_argument("--cohort", type=str, default=None,
+                   help="AS-Norm cohort: file listing cohort utterance ids "
+                        "(one per line, embedded from --data_dir). Scores "
+                        "are adaptively normalized against cohort statistics")
+    p.add_argument("--cohort_embeddings", type=str, default=None,
+                   help="AS-Norm cohort as a precomputed embedding store "
+                        "(.npz from --save_embeddings)")
+    p.add_argument("--snorm_topk", type=int, default=0,
+                   help="AS-Norm top-K cohort neighbours per utterance "
+                        "(0 = full cohort, i.e. plain S-norm)")
     args = p.parse_args(argv)
 
     if (args.clients is None) != (args.impostors is None):
@@ -74,28 +86,73 @@ def main(argv=None) -> int:
 
         extractor.cache.update(load_embeddings(args.load_embeddings))
 
+    # AS-Norm cohort (optional): embeddings from a precomputed store and/or
+    # an id list embedded through the same extractor (so cohort utterances
+    # share the cache/batching with trial utterances)
+    cohort = None
+    if args.cohort or args.cohort_embeddings:
+        rows = []
+        if args.cohort_embeddings:
+            from ..evaluation.embeddings import load_embeddings
+
+            rows.extend(load_embeddings(args.cohort_embeddings).values())
+        if args.cohort:
+            with open(args.cohort) as f:
+                ids = [ln.strip().split()[0] for ln in f if ln.strip()]
+            cache = extractor.extract(ids)
+            rows.extend(cache[u] for u in ids)
+        cohort = np.stack(rows)
+
+    def trial_scores(trials):
+        """Raw cosine scores, plus AS-Norm scores when a cohort is given
+        (normalized z-scores are unbounded, so the reference's -1..1
+        threshold-sweep EER only applies to the raw column)."""
+        raw = score_trials(extractor, trials)
+        if cohort is None:
+            return raw, None
+        from ..evaluation.snorm import asnorm_trial_scores
+
+        return raw, asnorm_trial_scores(
+            trials, extractor.cache, cohort, args.snorm_topk
+        )
+
+    def write(trials, raw, snormed, label=""):
+        for i, (a, b) in enumerate(trials):
+            cols = [a, b, f"{(raw if snormed is None else snormed)[i]:.6f}"]
+            if snormed is not None:
+                cols.append(f"raw={raw[i]:.6f}")
+            if label:
+                cols.append(label)
+            out.write(" ".join(cols) + "\n")
+
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     try:
         summary = {}
         if args.trials:
             trials = load_trials(args.trials)
-            scores = score_trials(extractor, trials)
-            for (a, b), s in zip(trials, scores):
-                out.write(f"{a} {b} {s:.6f}\n")
+            raw, snormed = trial_scores(trials)
+            write(trials, raw, snormed)
             summary["n_trials"] = len(trials)
         if args.clients and args.impostors:
             cl_trials = load_trials(args.clients)
             im_trials = load_trials(args.impostors)
-            cl = score_trials(extractor, cl_trials)
-            im = score_trials(extractor, im_trials)
-            for (a, b), s in zip(cl_trials, cl):
-                out.write(f"{a} {b} {s:.6f} target\n")
-            for (a, b), s in zip(im_trials, im):
-                out.write(f"{a} {b} {s:.6f} nontarget\n")
+            cl_raw, cl_sn = trial_scores(cl_trials)
+            im_raw, im_sn = trial_scores(im_trials)
+            write(cl_trials, cl_raw, cl_sn, "target")
+            write(im_trials, im_raw, im_sn, "nontarget")
             # same metric assembly as training validation (embeddings cached,
             # so this recomputes only the cosines)
             summary.update(validate_eer(extractor, cl_trials, im_trials))
             summary.update(n_clients=len(cl_trials), n_impostors=len(im_trials))
+            if cl_sn is not None:
+                from ..evaluation.eer import eer_exact, min_dcf
+
+                summary.update(
+                    eer_exact_snorm=eer_exact(cl_sn, im_sn),
+                    min_dcf_snorm=min_dcf(cl_sn, im_sn),
+                    cohort_size=len(cohort),
+                    snorm_topk=args.snorm_topk,
+                )
         if args.save_embeddings:
             from ..evaluation.embeddings import save_embeddings
 
