@@ -69,6 +69,11 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             profile_dir=params.profile_dir,
             profile_start_step=params.profile_start_step,
             profile_steps=params.profile_steps,
+            specaugment=params.specaugment,
+            specaugment_time_masks=params.specaugment_time_masks,
+            specaugment_time_width=params.specaugment_time_width,
+            specaugment_freq_masks=params.specaugment_freq_masks,
+            specaugment_freq_width=params.specaugment_freq_width,
         ),
         data=DataConfig(
             train_data_dir=params.train_data_dir,
@@ -183,6 +188,14 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--assume_full_lengths", action="store_true",
                         help="all training windows are full-length: drop masking "
                              "from the compiled step (~3%% faster)")
+    parser.add_argument("--specaugment", action="store_true",
+                        help="SpecAugment time/frequency masking on the feature "
+                             "windows inside the jitted step (not in the "
+                             "reference; off by default)")
+    parser.add_argument("--specaugment_time_masks", type=int, default=2)
+    parser.add_argument("--specaugment_time_width", type=int, default=30)
+    parser.add_argument("--specaugment_freq_masks", type=int, default=2)
+    parser.add_argument("--specaugment_freq_width", type=int, default=10)
     return parser
 
 

@@ -151,6 +151,16 @@ class TrainConfig:
     profile_dir: str = ""
     profile_start_step: int = 10          # past the compile + warmup steps
     profile_steps: int = 5
+    # SpecAugment (Park et al. 2019) time/frequency masking, applied to the
+    # (post-normalization) feature windows inside the jitted step — not in
+    # the reference (its only augmentation is random slicing,
+    # train.py:205-207). Zeros are the masked value (features are CMN'd, so
+    # zero == the mean). Off by default for parity.
+    specaugment: bool = False
+    specaugment_time_masks: int = 2       # masks per sample over the time axis
+    specaugment_time_width: int = 30      # max frames per time mask
+    specaugment_freq_masks: int = 2       # masks per sample over the mel axis
+    specaugment_freq_width: int = 10      # max mel bins per freq mask
 
 
 @dataclass(frozen=True)

@@ -117,6 +117,18 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             grads_acc, ms, loss_acc, acc_acc, i = carry
             f, l, y = micro
             rng_i = jax.random.fold_in(rng, i)
+            if cfg.train.specaugment:
+                from ..dsp.augment import spec_augment
+
+                # separate key so the head-dropout stream is unchanged when
+                # augmentation is toggled
+                f = spec_augment(
+                    f, jax.random.fold_in(rng_i, 0x5A),
+                    cfg.train.specaugment_time_masks,
+                    cfg.train.specaugment_time_width,
+                    cfg.train.specaugment_freq_masks,
+                    cfg.train.specaugment_freq_width,
+                )
             (loss, (new_ms, acc)), grads = grad_fn(
                 state.params, ms, f, l, y, state.step, rng_i
             )
