@@ -66,7 +66,15 @@ def main(argv=None) -> int:
     p.add_argument("--snorm_topk", type=int, default=0,
                    help="AS-Norm top-K cohort neighbours per utterance "
                         "(0 = full cohort, i.e. plain S-norm)")
+    p.add_argument("--plda", type=str, default=None,
+                   help="score with a PLDA backend (.npz from train_plda) "
+                        "instead of AS-Norm; LLR scores replace the cosine "
+                        "column (raw cosine kept as raw=)")
     args = p.parse_args(argv)
+    if args.plda and (args.cohort or args.cohort_embeddings):
+        p.error("--plda and --cohort/--cohort_embeddings are exclusive "
+                "(PLDA LLRs are already calibrated against the model; "
+                "normalize one backend at a time)")
 
     if (args.clients is None) != (args.impostors is None):
         p.error("--clients and --impostors must be given together")
@@ -103,11 +111,19 @@ def main(argv=None) -> int:
             rows.extend(cache[u] for u in ids)
         cohort = np.stack(rows)
 
+    plda = None
+    if args.plda:
+        from ..evaluation.plda import PLDA
+
+        plda = PLDA.load(args.plda)
+
     def trial_scores(trials):
-        """Raw cosine scores, plus AS-Norm scores when a cohort is given
-        (normalized z-scores are unbounded, so the reference's -1..1
-        threshold-sweep EER only applies to the raw column)."""
+        """Raw cosine scores, plus AS-Norm or PLDA-LLR scores when a cohort
+        or PLDA model is given (both are unbounded, so the reference's
+        -1..1 threshold-sweep EER only applies to the raw column)."""
         raw = score_trials(extractor, trials)
+        if plda is not None:
+            return raw, plda.score_trials(trials, extractor.cache)
         if cohort is None:
             return raw, None
         from ..evaluation.snorm import asnorm_trial_scores
@@ -147,12 +163,13 @@ def main(argv=None) -> int:
             if cl_sn is not None:
                 from ..evaluation.eer import eer_exact, min_dcf
 
-                summary.update(
-                    eer_exact_snorm=eer_exact(cl_sn, im_sn),
-                    min_dcf_snorm=min_dcf(cl_sn, im_sn),
-                    cohort_size=len(cohort),
-                    snorm_topk=args.snorm_topk,
-                )
+                backend = "plda" if plda is not None else "snorm"
+                summary.update({
+                    f"eer_exact_{backend}": eer_exact(cl_sn, im_sn),
+                    f"min_dcf_{backend}": min_dcf(cl_sn, im_sn),
+                })
+                if cohort is not None:
+                    summary.update(cohort_size=len(cohort), snorm_topk=args.snorm_topk)
         if args.save_embeddings:
             from ..evaluation.embeddings import save_embeddings
 
