@@ -75,6 +75,7 @@ class WavSource:
     def __init__(self, data_dir: str, feat_cfg: FeatureConfig, window_frames: int,
                  native_reader=None):
         self.data_dir = data_dir
+        self.feat_cfg = feat_cfg
         self.window_samples = num_samples_for_frames(window_frames, feat_cfg)
         self.native_reader = native_reader
 
@@ -249,14 +250,21 @@ class TrainLoader:
                 f"than the {t_dim}-unit window: {short} ..."
             )
 
-        if self.cfg.random_slicing and not self.is_wave:
+        if self.cfg.random_slicing:
             # Reference truncates each batch to a random length in
-            # [200, window) (train.py:205-207). Snap up to a multiple of 50
-            # so only a handful of shapes ever compile.
+            # [200, window) frames (train.py:205-207). Snap up to a multiple
+            # of 50 so only a handful of shapes ever compile. In device-DSP
+            # wav mode the same cut is applied in the sample domain (exact
+            # frame-count equivalence via num_samples_for_frames).
             cut = int(rng.integers(200, self.window_frames))
             cut = min(self.window_frames, -(-cut // 50) * 50)
-            inputs = inputs[:, :cut]
-            lengths = np.minimum(lengths, cut)
+            if self.is_wave:
+                cut_samples = num_samples_for_frames(cut, self.source.feat_cfg)
+                inputs = inputs[:, :cut_samples]
+                lengths = np.minimum(lengths, cut_samples)
+            else:
+                inputs = inputs[:, :cut]
+                lengths = np.minimum(lengths, cut)
 
         key = "waves" if self.is_wave else "inputs"
         if self.cfg.transfer_dtype != "float32":

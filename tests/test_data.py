@@ -169,6 +169,46 @@ def test_random_slicing_buckets(tmp_path):
     assert len(shapes) >= 2  # actually varies
 
 
+def test_random_slicing_wav_mode(tmp_path):
+    """Device-DSP wav mode applies random slicing in the sample domain
+    (reference truncates every training batch, train.py:205-207,217)."""
+    from doubleattentionspeakerverification_tpu.config import FeatureConfig
+    from doubleattentionspeakerverification_tpu.data.dataset import WavSource
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+    from doubleattentionspeakerverification_tpu.dsp.features import (
+        num_samples_for_frames,
+    )
+
+    sr = 16000
+    root = tmp_path / "wavs"
+    root.mkdir()
+    lines = []
+    for spk in range(2):
+        for i in range(4):
+            t = np.arange(int(4.0 * sr)) / sr
+            y = 0.2 * np.sin(2 * np.pi * (200 + 100 * spk + 10 * i) * t)
+            write_wav(str(root / f"s{spk}_{i}.wav"), y, sr)
+            lines.append(f"s{spk}_{i} {spk} -1\n")
+    manifest = parse_train_manifest(lines)
+    fcfg = FeatureConfig()
+    tcfg = TrainConfig(
+        window_size=3.5, batch_size=2, gradient_accumulation=2, random_slicing=True
+    )
+    source = WavSource(str(root), fcfg, window_frames=350)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), is_wave=True)
+    valid_sample_counts = {
+        num_samples_for_frames(f, fcfg) for f in range(200, 351, 50)
+    }
+    shapes = set()
+    for e in range(4):
+        for b in loader.epoch(e):
+            s = b["waves"].shape[2]
+            assert s in valid_sample_counts  # snapped to the frame bucket grid
+            assert b["lengths"].max() <= s
+            shapes.add(s)
+    assert len(shapes) >= 2  # actually varies
+
+
 def test_loader_output_independent_of_num_workers(tmp_path):
     """Parallel batch assembly must not change the data stream."""
     from doubleattentionspeakerverification_tpu.config import DataConfig, TrainConfig
