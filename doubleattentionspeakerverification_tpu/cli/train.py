@@ -85,6 +85,8 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             host_dsp=params.host_dsp,
             num_workers=params.num_workers,
             valid_feature_cache_mb=params.valid_feature_cache_mb,
+            train_feature_cache_mb=params.feature_cache_mb,
+            train_feature_cache_dir=params.feature_cache_dir,
         ),
         mesh=MeshConfig(model_axis=params.model_parallel),
     )
@@ -149,6 +151,14 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="shards of the AM-Softmax classifier over the mesh 'model' axis")
+    parser.add_argument("--feature_cache_mb", type=float, default=0.0,
+                        help="wav mode: RAM budget (MB) for the compute-once "
+                        "full-utterance feature cache; steady-state epochs then "
+                        "re-window cached frames like the reference's offline-"
+                        "features pipeline (0 = recompute DSP every window)")
+    parser.add_argument("--feature_cache_dir", type=str, default="",
+                        help="wav mode: disk tier for the feature cache — "
+                        "reference-format pickles, reusable as a features dir")
     parser.add_argument("--host_dsp", action="store_true",
                         help="wav mode: compute log-mel on the host (fused native C++ "
                              "kernel when built) and ship bf16/f32 feature frames instead "

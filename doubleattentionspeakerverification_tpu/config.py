@@ -188,6 +188,19 @@ class DataConfig:
     # rounds (they are immutable between rounds; the reference re-reads every
     # utterance from disk twice per trial pair, train.py:117-133). 0 disables.
     valid_feature_cache_mb: float = 512.0
+    # Wav mode: compute each utterance's FULL log-mel once on the host and
+    # re-window cached frames every epoch — the reference's offline-extract-
+    # then-rewindow pipeline (featureExtractor.py:35-43 + data.py:50-55)
+    # collapsed into training. Steady-state wav training then costs what
+    # feature-mode training costs (the 2-core host DSP stops being the
+    # bottleneck). RAM LRU budget in MB (0 = off); best when the working set
+    # fits — with heavy eviction the full-utterance compute (~2.3x a window)
+    # is wasted, so size it or add the disk tier below.
+    train_feature_cache_mb: float = 0.0
+    # Disk tier for the same cache: reference-format pickles ((n_mels, T)
+    # raw float32, byte-compatible with the extractor CLI), so the cache dir
+    # is reusable as a --data_source features directory. Empty = off.
+    train_feature_cache_dir: str = ""
 
 
 @dataclass(frozen=True)

@@ -105,7 +105,21 @@ class Trainer:
         cfg = self.cfg
         manifest = load_train_manifest(cfg.data.train_labels_path)
         window_frames = int(cfg.train.window_size * 100)
-        if cfg.data.source == "wav" and cfg.data.host_dsp:
+        if cfg.data.source == "wav" and (
+            cfg.data.train_feature_cache_mb > 0 or cfg.data.train_feature_cache_dir
+        ):
+            # compute-once full-utterance features (host DSP on first touch),
+            # re-windowed per epoch — steady state == feature-mode cost
+            from ..data.feature_cache import CachedDspWavSource
+
+            source = CachedDspWavSource(
+                cfg.data.train_data_dir, cfg.features, window_frames,
+                cfg.train.normalization,
+                cache_mb=cfg.data.train_feature_cache_mb,
+                cache_dir=cfg.data.train_feature_cache_dir,
+            )
+            is_wave = False
+        elif cfg.data.source == "wav" and cfg.data.host_dsp:
             from ..data.dataset import HostDspWavSource
 
             source = HostDspWavSource(
