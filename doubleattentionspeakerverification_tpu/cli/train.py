@@ -69,6 +69,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             profile_dir=params.profile_dir,
             profile_start_step=params.profile_start_step,
             profile_steps=params.profile_steps,
+            async_validation=not params.sync_validation,
             specaugment=params.specaugment,
             specaugment_time_masks=params.specaugment_time_masks,
             specaugment_time_width=params.specaugment_time_width,
@@ -198,6 +199,10 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--assume_full_lengths", action="store_true",
                         help="all training windows are full-length: drop masking "
                              "from the compiled step (~3%% faster)")
+    parser.add_argument("--sync_validation", action="store_true",
+                        help="run EER validation serially (reference behavior); "
+                        "default overlaps it with training in a background "
+                        "thread over a params snapshot")
     parser.add_argument("--specaugment", action="store_true",
                         help="SpecAugment time/frequency masking on the feature "
                              "windows inside the jitted step (not in the "

@@ -156,6 +156,15 @@ class TrainConfig:
     # the reference (its only augmentation is random slicing,
     # train.py:205-207). Zeros are the masked value (features are CMN'd, so
     # zero == the mean). Off by default for parity.
+    # Run EER validation in a background thread over a snapshot of the
+    # params taken at the validation step, so the chip keeps training while
+    # the host loads trial features and sweeps thresholds (the reference's
+    # __validate is fully serial, train.py:158-184). Decision semantics are
+    # preserved exactly: the best checkpoint saves the snapshot (params AT
+    # the validation step), and pending validations are joined at epoch end
+    # before LR-halving / early-stop checks. Forced off on multi-host runs
+    # (two threads issuing collectives can deadlock across hosts).
+    async_validation: bool = True
     specaugment: bool = False
     specaugment_time_masks: int = 2       # masks per sample over the time axis
     specaugment_time_width: int = 30      # max frames per time mask

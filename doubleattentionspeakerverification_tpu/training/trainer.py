@@ -96,6 +96,7 @@ class Trainer:
         self._print_t0 = time.time()
         self._pause_s = 0.0
         self._valid_loader = None
+        self._pending_val = None  # (thread, result_box, snapshot_state, epoch)
         self._checkpointer = AsyncCheckpointer()
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
@@ -174,13 +175,14 @@ class Trainer:
         self._valid_loader = loader
         return loader
 
-    def validate(self) -> Dict[str, float]:
+    def validate(self, state: Optional[TrainState] = None) -> Dict[str, float]:
         cfg = self.cfg
+        state = self.state if state is None else state
         t0 = time.time()
         loader = self._valid_feature_loader()
         extractor = EmbeddingExtractor(
-            self.state.params,
-            self.state.model_state,
+            state.params,
+            state.model_state,
             cfg.model,
             loader,
             embed_fn=self._embed_jit,
@@ -193,14 +195,16 @@ class Trainer:
         result["elapsed_s"] = time.time() - t0
         return result
 
-    def _on_validation(self) -> None:
-        t_pause = time.time()
-        result = self.validate()
+    def _apply_validation(
+        self, result: Dict[str, float], state: TrainState, epoch: int
+    ) -> None:
+        """Record a finished validation: improvement bookkeeping + best-EER
+        checkpoint of the params AT the validation step (``state``)."""
         eer = result["eer"]
         self.log.log(
             "validate",
-            epoch=self.epoch,
-            step=int(self.state.step),
+            epoch=epoch,
+            step=int(state.step),
             eer=eer,
             eer_exact=result["eer_exact"],
             elapsed_s=result["elapsed_s"],
@@ -208,7 +212,7 @@ class Trainer:
         if eer < self.best_eer:
             self.best_eer = eer
             self.stopping = 0
-            self.best_ckpt_path = self._save("best")
+            self.best_ckpt_path = self._save("best", state=state, epoch=epoch)
             # best checkpoints are rare and load-bearing (requeue target):
             # block until the write lands; periodic saves stay async
             self._checkpointer.wait()
@@ -216,36 +220,95 @@ class Trainer:
         else:
             self.stopping += 1
             self.log.log("no_improvement", best_eer=self.best_eer, stopping=self.stopping)
-        # exclude validation time from the throughput print window; resetting
-        # _print_t0 here would instead desync it from metric_buf (steps before
-        # the validation would be divided by post-validation time only)
-        self._pause_s += time.time() - t_pause
+
+    def _async_validation_enabled(self) -> bool:
+        # multi-host: a second thread issuing collectives while the main
+        # thread trains can enqueue programs in different orders on
+        # different hosts -> distributed deadlock. Keep validation serial.
+        return self.cfg.train.async_validation and self.num_hosts == 1
+
+    def _join_validation(self) -> None:
+        """Wait for the in-flight background validation (if any) and apply it."""
+        if self._pending_val is None:
+            return
+        th, box, snap, epoch = self._pending_val
+        self._pending_val = None
+        th.join()
+        if "error" in box:
+            raise box["error"]
+        self._apply_validation(box["result"], snap, epoch)
+
+    def _on_validation(self) -> None:
+        if not self._async_validation_enabled():
+            t_pause = time.time()
+            result = self.validate()
+            self._apply_validation(result, self.state, self.epoch)
+            # exclude validation time from the throughput print window;
+            # resetting _print_t0 here would instead desync it from
+            # metric_buf (steps before the validation would be divided by
+            # post-validation time only)
+            self._pause_s += time.time() - t_pause
+            return
+        # one validation in flight at a time (reference cadence semantics)
+        self._join_validation()
+        import jax.numpy as jnp
+
+        # explicit device copy: the train step donates its input buffers, so
+        # self.state's arrays are invalidated by the NEXT step — the snapshot
+        # must own its memory for the background thread to read
+        snap = jax.tree.map(jnp.copy, self.state)
+        box: Dict = {}
+
+        def run() -> None:
+            try:
+                box["result"] = self.validate(snap)
+            except BaseException as e:  # surface in the training thread
+                box["error"] = e
+
+        import threading
+
+        th = threading.Thread(target=run, name="validation", daemon=True)
+        self._pending_val = (th, box, snap, self.epoch)
+        th.start()
 
     # ------------------------------------------------------------ checkpoint
-    def _meta(self) -> Dict:
+    def _meta(self, state: Optional[TrainState] = None, epoch: Optional[int] = None) -> Dict:
+        state = self.state if state is None else state
         return {
             "config": self.cfg.to_dict(),
             "model_name": self.model_name,
-            "epoch": self.epoch,
-            "step": int(self.state.step),
+            "epoch": self.epoch if epoch is None else epoch,
+            "step": int(state.step),
             "best_eer": self.best_eer,
             "stopping": self.stopping,
-            "lr": get_lr(self.state.opt_state),
+            "lr": get_lr(state.opt_state),
             "best_ckpt_path": self.best_ckpt_path,
         }
 
-    def _save(self, kind: str = "periodic") -> str:
+    def _save(
+        self,
+        kind: str = "periodic",
+        state: Optional[TrainState] = None,
+        epoch: Optional[int] = None,
+    ) -> str:
+        state = self.state if state is None else state
         os.makedirs(self.cfg.out_dir, exist_ok=True)
-        step = int(self.state.step)
+        step = int(state.step)
         stem = f"{self.model_name}_best_{step}" if kind == "best" else f"{self.model_name}_{step}"
         keep = self.cfg.train.keep_checkpoints
+        meta = self._meta(state, epoch)
         if self.cfg.train.checkpoint_backend == "orbax":
             from ..utils.orbax_ckpt import prune_orbax_checkpoints, save_checkpoint_orbax
 
+            if kind == "best":
+                # a best checkpoint's meta must name itself: a resume from it
+                # (it can be the newest file, e.g. under async validation)
+                # must restore best_ckpt_path so pruning keeps protecting it
+                meta["best_ckpt_path"] = os.path.join(self.cfg.out_dir, f"{stem}.orbax")
             # orbax runs its own (finalization-atomic) write path; every host
             # participates and writes only its own shards
             path = save_checkpoint_orbax(
-                os.path.join(self.cfg.out_dir, f"{stem}.orbax"), self.state, self._meta()
+                os.path.join(self.cfg.out_dir, f"{stem}.orbax"), state, meta
             )
             if kind != "best" and keep > 0:
                 prune_orbax_checkpoints(
@@ -254,7 +317,9 @@ class Trainer:
                 )
             return path
         path = os.path.join(self.cfg.out_dir, f"{stem}.npz")
-        self._checkpointer.save(path, self.state, self._meta())
+        if kind == "best":
+            meta["best_ckpt_path"] = path  # see orbax note above
+        self._checkpointer.save(path, state, meta)
         if kind != "best" and keep > 0:
             prune_checkpoints(
                 self.cfg.out_dir, self.model_name, keep,
@@ -415,10 +480,14 @@ class Trainer:
                 if cfg.train.checkpoint_every and step % cfg.train.checkpoint_every == 0:
                     self._save("periodic")
 
+            # epoch-end decisions must see every validation launched this
+            # epoch (reference semantics: validation is serial, train.py:158)
+            self._join_validation()
             if cfg.train.early_stopping >= 0 and self.stopping > cfg.train.early_stopping:
                 self.log.log("early_stop", best_eer=self.best_eer)
                 break
             self._halve_lr_if_stagnant()
+        self._join_validation()
         watchdog.stop()
         profiler.close(sync=None if last_metrics is None else last_metrics["loss"])
         self._checkpointer.wait()

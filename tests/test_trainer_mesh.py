@@ -34,6 +34,7 @@ def test_trainer_uses_mesh(tmp_path):
     # validation ran on sharded params
     tr.best_eer = 1000.0
     tr._on_validation()
+    tr._join_validation()  # async by default: wait for the result to land
     assert tr.best_ckpt_path is not None
 
     # resume reshards

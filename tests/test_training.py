@@ -163,6 +163,7 @@ def test_trainer_end_to_end(tmp_path):
     # improve and write the best checkpoint
     tr.best_eer = 1000.0
     tr._on_validation()
+    tr._join_validation()  # async by default: wait for the result to land
     assert tr.best_ckpt_path and os.path.exists(tr.best_ckpt_path)
 
 
@@ -663,3 +664,44 @@ def test_validation_features_cached_across_rounds(tmp_path):
     tr0 = Trainer(cfg0)
     tr0.validate()
     assert not isinstance(tr0._valid_loader, FeatureCache)
+
+
+# ------------------------------------------------------- async validation
+def test_async_validation_matches_sync(tmp_path):
+    """Overlapped (background-thread) validation must be decision-identical
+    to the reference's serial validation: same training stream, same EERs,
+    same best checkpoint content (params AT the validation step)."""
+    import dataclasses
+    import glob
+
+    _make_dataset(tmp_path)
+
+    def run(async_v, sub):
+        cfg = _tiny_cfg(tmp_path, validate_every=3, max_epochs=2,
+                        async_validation=async_v)
+        cfg = dataclasses.replace(cfg, out_dir=str(tmp_path / sub))
+        tr = Trainer(cfg)
+        tr.best_eer = 1000.0  # every validation can improve deterministically
+        tr.train()
+        return tr
+
+    a = run(True, "out_async")
+    s = run(False, "out_sync")
+    # training stream unaffected by overlap
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a.state.params, s.state.params,
+    )
+    assert a.best_eer == s.best_eer and a.stopping == s.stopping
+    # best checkpoints: same step in the filename, same weights inside
+    na = os.path.basename(a.best_ckpt_path)
+    ns = os.path.basename(s.best_ckpt_path)
+    assert na == ns
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import load_checkpoint
+
+    st_a, meta_a = load_checkpoint(a.best_ckpt_path, a.state)
+    st_s, meta_s = load_checkpoint(s.best_ckpt_path, s.state)
+    assert meta_a["step"] == meta_s["step"]
+    np.testing.assert_array_equal(
+        np.asarray(st_a.params["amsoftmax"]["W"]), np.asarray(st_s.params["amsoftmax"]["W"])
+    )
