@@ -40,27 +40,31 @@ def chunked_amsoftmax_ce(
     w = params["W"]
     emb, n_classes = w.shape
     b = x.shape[0]
+    chunk = min(chunk, n_classes)
     n_chunks = -(-n_classes // chunk)
-    pad = n_chunks * chunk - n_classes
-    if pad:
-        # padded columns are zero vectors -> cosine 0; masked to -inf below
-        w = jnp.pad(w, ((0, 0), (0, pad)))
 
     x_n = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), NORM_EPS)
     alpha = annealing_alpha(jnp.asarray(step)) if cfg.annealing else jnp.float32(0.0)
     s = cfg.scaling_factor
     m = cfg.margin_factor
 
-    w_chunks = w.reshape(emb, n_chunks, chunk).transpose(1, 0, 2)  # (n_chunks, emb, chunk)
-
-    def body(carry, inputs):
+    # Chunks are taken with dynamic_slice inside the scan body instead of a
+    # pre-reshaped (n_chunks, emb, chunk) xs input: the xs form costs a full
+    # W-sized transpose copy in the forward AND a W-sized stacked cotangent
+    # (+ its reshape) in the backward — ~3x W of temps. With dynamic_slice
+    # the only W-sized buffer in the backward is the dW accumulator itself.
+    # The last chunk is CLAMPED (start = n_classes - chunk) rather than W
+    # being padded (another full copy); columns the clamp re-covers are
+    # masked out via `valid`.
+    def body(carry, c_idx):
         run_max, run_sum, gold, best, best_arg = carry
-        w_c, c_idx = inputs
+        start = jnp.minimum(c_idx * chunk, n_classes - chunk)
+        w_c = jax.lax.dynamic_slice_in_dim(w, start, chunk, axis=1)
         w_norm = w_c / jnp.maximum(jnp.linalg.norm(w_c, axis=0, keepdims=True), NORM_EPS)
         costh = x_n @ w_norm                                    # (B, chunk)
-        col = c_idx * chunk + jnp.arange(chunk)[None, :]        # global class ids
-        valid = col < n_classes
-        is_gold = col == label[:, None]
+        col = start + jnp.arange(chunk)[None, :]                # global class ids
+        valid = col >= c_idx * chunk   # dedupe the clamped last chunk's overlap
+        is_gold = (col == label[:, None]) & valid
         costh_m = costh - jnp.where(is_gold, m, 0.0)
         combined = (costh_m + alpha * costh) / (1.0 + alpha)
         logits = jnp.where(valid, s * combined, -jnp.inf)
@@ -77,7 +81,7 @@ def chunked_amsoftmax_ce(
         # accuracy argmax over unmargined cosine
         costh_v = jnp.where(valid, costh, -jnp.inf)
         c_best = jnp.max(costh_v, axis=-1)
-        c_arg = c_idx * chunk + jnp.argmax(costh_v, axis=-1)
+        c_arg = start + jnp.argmax(costh_v, axis=-1)
         take = c_best > best
         best = jnp.where(take, c_best, best)
         best_arg = jnp.where(take, c_arg, best_arg)
@@ -91,7 +95,7 @@ def chunked_amsoftmax_ce(
         jnp.zeros((b,), jnp.int32),
     )
     (run_max, run_sum, gold, _best, best_arg), _ = jax.lax.scan(
-        jax.checkpoint(body), init, (w_chunks, jnp.arange(n_chunks))
+        jax.checkpoint(body), init, jnp.arange(n_chunks)
     )
     ce = jnp.mean(jnp.log(run_sum) + run_max - gold)
     acc = jnp.mean((best_arg == label).astype(jnp.float32))

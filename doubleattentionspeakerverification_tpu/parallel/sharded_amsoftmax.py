@@ -71,8 +71,11 @@ def sharded_amsoftmax_ce(
         costh, logits, onehot = _local_margin_logits(
             w_shard, x, label, step, cfg, idx, shard_size
         )
-        # global logsumexp over the sharded class axis
-        local_max = jnp.max(logits, axis=-1)
+        # global logsumexp over the sharded class axis. The max is only a
+        # numerical stabilizer — logsumexp's gradient is independent of it —
+        # and pmax has no differentiation rule, so stop_gradient is both
+        # exact and required for the backward pass (training uses this CE).
+        local_max = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
         gmax = jax.lax.pmax(local_max, model_axis)
         sumexp = jax.lax.psum(
             jnp.sum(jnp.exp(logits - gmax[:, None]), axis=-1), model_axis
@@ -80,7 +83,9 @@ def sharded_amsoftmax_ce(
         gold = jax.lax.psum(jnp.sum(logits * onehot, axis=-1), model_axis)
         ce = jnp.mean(jnp.log(sumexp) + gmax - gold)
 
-        # global argmax of costh for accuracy (pmax + owner vote)
+        # global argmax of costh for accuracy (pmax + owner vote);
+        # metric-only, never differentiated
+        costh = jax.lax.stop_gradient(costh)
         local_best = jnp.max(costh, axis=-1)
         local_arg = jnp.argmax(costh, axis=-1) + idx * shard_size
         gbest = jax.lax.pmax(local_best, model_axis)
