@@ -1,8 +1,9 @@
 """Metrics logging.
 
 The reference logs with bare prints (``train.py:192-194,171-173``). Here a
-small structured logger: console lines plus an optional JSONL metrics file
-(one JSON object per event) for downstream tooling.
+small structured logger: console lines, an optional JSONL metrics file (one
+JSON object per event) for downstream tooling, and an optional TensorBoard
+scalar sink (``utils/tensorboard.py`` — zero-dependency event-file writer).
 """
 
 from __future__ import annotations
@@ -14,10 +15,21 @@ from typing import Any, Dict, Optional
 
 
 class MetricLogger:
-    def __init__(self, jsonl_path: Optional[str] = None, stream=None):
+    def __init__(
+        self,
+        jsonl_path: Optional[str] = None,
+        stream=None,
+        tensorboard_dir: Optional[str] = None,
+    ):
         self.jsonl_path = jsonl_path
         self.stream = stream or sys.stdout
         self._fh = open(jsonl_path, "a") if jsonl_path else None
+        self._tb = None
+        self._tb_step = 0  # last seen global step, for step-less events
+        if tensorboard_dir:
+            from .tensorboard import TensorBoardWriter
+
+            self._tb = TensorBoardWriter(tensorboard_dir)
 
     def log(self, event: str, **fields: Any) -> None:
         ts = time.time()
@@ -28,6 +40,16 @@ class MetricLogger:
             rec.update({k: self._plain(v) for k, v in fields.items()})
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            step = fields.get("step")
+            if isinstance(step, (int, float)) and not isinstance(step, bool):
+                self._tb_step = int(step)
+            for k, v in fields.items():
+                if k == "step" or isinstance(v, bool):
+                    continue
+                num = self._number(v)
+                if num is not None:
+                    self._tb.add_scalar(f"{event}/{k}", num, self._tb_step, ts)
 
     @staticmethod
     def _fmt(v) -> str:
@@ -42,7 +64,22 @@ class MetricLogger:
         except (TypeError, ValueError):
             return str(v)
 
+    @staticmethod
+    def _number(v) -> Optional[float]:
+        """Numeric scalars only — strings/paths never become TB points."""
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:  # 0-d numpy / jax arrays
+            if getattr(v, "shape", None) == () or getattr(v, "ndim", None) == 0:
+                return float(v)
+        except (TypeError, ValueError):
+            pass
+        return None
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None
