@@ -226,6 +226,10 @@ def main():
                 else {}
             ),
             "compute_dtype": compute_dtype,
+            "kernel_auto": __import__(
+                "doubleattentionspeakerverification_tpu.utils.kernel_auto",
+                fromlist=["decisions"],
+            ).decisions(),
             "batch": f"{g}x{b}x{t}",
             "device": str(jax.devices()[0]),
             **({"smoke": True} if smoke else {}),

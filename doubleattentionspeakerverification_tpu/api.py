@@ -47,7 +47,11 @@ class SpeakerEmbeddingModel:
                 )
             )
         elif quantize == "none":
-            self._embed = jax.jit(partial(get_embedding, cfg=cfg.model))
+            from .utils.kernel_auto import resolve_model_kernels
+
+            self._embed = jax.jit(
+                partial(get_embedding, cfg=resolve_model_kernels(cfg.model, cfg.features))
+            )
         else:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

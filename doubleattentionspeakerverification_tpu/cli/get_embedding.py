@@ -39,7 +39,12 @@ def embed_wav(audio_path: str, params, model_state, cfg: ExperimentConfig,
     wave, sr = read_wav(audio_path)
     feat_cfg = cfg.features if sr == cfg.features.sample_rate else FeatureConfig(sample_rate=sr)
     feats = extract_normalized(wave.astype(np.float32), feat_cfg, normalization)
-    emb = get_embedding(params, model_state, np.asarray(feats)[None], None, cfg.model)
+    from ..utils.kernel_auto import resolve_model_kernels
+
+    emb = get_embedding(
+        params, model_state, np.asarray(feats)[None], None,
+        resolve_model_kernels(cfg.model, cfg.features),
+    )
     return np.asarray(emb)[0]
 
 

@@ -42,6 +42,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             annealing=params.annealing,
             compute_dtype=params.compute_dtype,
             use_pallas_dsp=params.use_pallas_dsp,
+            use_pallas_pooling=params.use_pallas_pooling,
             classifier_chunk=params.classifier_chunk,
         ),
         train=TrainConfig(
@@ -164,8 +165,14 @@ def make_parser() -> argparse.ArgumentParser:
                         help="wav mode: compute log-mel on the host (fused native C++ "
                              "kernel when built) and ship bf16/f32 feature frames instead "
                              "of PCM — ~2x fewer host->device bytes")
-    parser.add_argument("--use_pallas_dsp", action="store_true",
-                        help="fused pallas log-mel kernel for the wav path (~2x DSP)")
+    parser.add_argument("--use_pallas_dsp", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="fused pallas log-mel kernel for the wav path (~2x DSP). "
+                        "Unset = auto: on for TPU backends after a parity self-check")
+    parser.add_argument("--use_pallas_pooling", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="fused pallas attention-pooling kernel. Unset = auto: "
+                        "on for TPU backends after a fwd+bwd parity self-check")
     parser.add_argument("--classifier_chunk", type=int, default=0,
                         help=">0: scan the AM-Softmax W in class chunks of this size "
                              "(memory-bounded CE for very large speaker counts)")
@@ -187,6 +194,11 @@ def make_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16", "int16"],
                         help="host->device batch payload dtype (bfloat16 for "
                              "features / int16 for wavs halves transfer bytes)")
+    parser.add_argument("--tensorboard_dir", type=str, default="",
+                        help="write TensorBoard scalar event files (loss, "
+                             "accuracy, EER, LR, throughput) to this logdir "
+                             "(zero-dependency writer, utils/tensorboard.py); "
+                             "empty = off")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler device trace of a window "
                              "of steps to this directory (view in XProf/"
@@ -251,7 +263,10 @@ def main(argv=None) -> int:
     with open(os.path.join(cfg.out_dir, f"{name}_config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    logger = MetricLogger(jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"))
+    logger = MetricLogger(
+        jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"),
+        tensorboard_dir=params.tensorboard_dir or None,
+    )
     trainer = Trainer(cfg, logger=logger)
     if params.resume_step is not None:
         if not trainer.resume(step=params.resume_step):

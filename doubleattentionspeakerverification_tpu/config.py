@@ -66,7 +66,11 @@ class ModelConfig:
     # Fused pallas attention-pooling kernel (ops/pooling_pallas.py): one HBM
     # pass over the encoder output instead of three. Alignments are not
     # produced on this path (they are introspection-only).
-    use_pallas_pooling: bool = False
+    # Tri-state: True/False = explicit; None = AUTO — enabled on TPU after a
+    # one-batch fwd+bwd parity self-check vs the XLA path, off elsewhere
+    # (utils/kernel_auto.py; resolved where jits are built, so checkpoints
+    # keep the tri-state and stay portable across backends).
+    use_pallas_pooling: Optional[bool] = None
     # Rematerialize each VGG block in the backward pass (jax.checkpoint):
     # trades ~1/3 more conv FLOPs for O(blocks) less activation memory —
     # for very large per-chip batches.
@@ -74,7 +78,8 @@ class ModelConfig:
     # Fused pallas log-mel kernel for the wav path (ops/logmel_pallas.py):
     # one HBM pass over audio, ~2x the XLA DSP throughput on TPU. Numerics
     # match the XLA path to ~1e-5 (both parity-tested vs the reference).
-    use_pallas_dsp: bool = False
+    # Tri-state like use_pallas_pooling: None = auto-on-TPU behind the gate.
+    use_pallas_dsp: Optional[bool] = None
     # Large-vocabulary classifier: when > 0, the train step computes the
     # AM-Softmax CE by scanning W in chunks of this many classes
     # (ops/chunked_amsoftmax.py) — peak memory (B, chunk) instead of

@@ -147,6 +147,9 @@ class EmbeddingExtractor:
         num_workers: int = 4,
         mesh=None,
     ):
+        from ..utils.kernel_auto import resolve_model_kernels
+
+        cfg = resolve_model_kernels(cfg)  # concrete use_pallas_* for this backend
         self.params = params
         self.state = state
         self.cfg = cfg

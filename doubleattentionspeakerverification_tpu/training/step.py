@@ -74,6 +74,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     metrics: mean loss / accuracy over the G microbatches (the reference
     averages printed loss the same way, ``train.py:186-194``).
     """
+    from ..utils.kernel_auto import resolve_fast_kernels
+
+    cfg = resolve_fast_kernels(cfg)  # concrete use_pallas_* for this backend
     opt = make_optimizer(cfg.train)
     mcfg = cfg.model
     if cfg.train.criterion not in ("cross_entropy", "focal"):
@@ -154,6 +157,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
 
 def make_eval_loss_step(cfg: ExperimentConfig):
     """Jitted forward-only loss/accuracy (no state mutation) for eval."""
+    from ..utils.kernel_auto import resolve_fast_kernels
+
+    cfg = resolve_fast_kernels(cfg)
     mcfg = cfg.model
 
     def eval_step(params, model_state, batch):

@@ -61,7 +61,11 @@ class Trainer:
         )
         self.state: TrainState = init_train_state(params, model_state, cfg)
         self.train_step = make_train_step(cfg)
-        self._embed_jit = jax.jit(partial(get_embedding, cfg=cfg.model))
+        from ..utils.kernel_auto import resolve_model_kernels
+
+        self._embed_jit = jax.jit(
+            partial(get_embedding, cfg=resolve_model_kernels(cfg.model, cfg.features))
+        )
 
         # Mesh placement: with >1 device the batch shards over 'data' and the
         # AM-Softmax W (+ its optimizer moments) over 'model'; the same jitted
