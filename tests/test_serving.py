@@ -219,3 +219,68 @@ def test_http_enrollment_endpoints(model, tmp_path):
         server.shutdown()
         server.batcher.close()
         th.join(timeout=5)
+
+
+def test_microbatcher_concurrency_soak(model):
+    """Load soak (VERDICT r1 #10): many threads, mixed lengths spanning
+    several buckets, sustained for hundreds of requests. Must not deadlock
+    (hard per-request timeout), every result must match the direct forward,
+    and warm tail latency must stay bounded relative to the median — a queue
+    leak or a lost wakeup shows up as p99 blowing past the deadline."""
+    batcher = MicroBatcher(model, max_batch=8, max_wait_ms=2.0, buckets=(64, 128, 256))
+    n_threads, per_thread = 8, 25
+    lengths = [40, 60, 100, 120, 200, 250]
+    try:
+        # warm each bucket so the soak measures steady state, not compiles
+        for t in (64, 128, 256):
+            batcher.embed(_feats(t - 10, seed=t), timeout=120)
+
+        wants = {
+            t: model.embed_features(
+                _feats(t, seed=t)[None], np.array([t], np.int32)
+            )[0]
+            for t in lengths
+        }
+        latencies = []
+        lat_lock = threading.Lock()
+        errors = []
+
+        def worker(tid):
+            import time as _time
+
+            rng = np.random.default_rng(tid)
+            for _ in range(per_thread):
+                t = int(rng.choice(lengths))
+                t0 = _time.perf_counter()
+                try:
+                    got = batcher.embed(_feats(t, seed=t), timeout=60)
+                except Exception as e:  # timeout == deadlock evidence
+                    errors.append((tid, t, repr(e)))
+                    return
+                dt = _time.perf_counter() - t0
+                with lat_lock:
+                    latencies.append(dt)
+                if not np.allclose(got, wants[t], atol=1e-5):
+                    errors.append((tid, t, "value mismatch"))
+                    return
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not any(th.is_alive() for th in threads), "soak deadlocked"
+        assert not errors, errors[:5]
+        assert len(latencies) == n_threads * per_thread
+
+        lat = np.sort(latencies)
+        p50 = lat[len(lat) // 2]
+        p99 = lat[int(len(lat) * 0.99)]
+        # generous CPU-CI bound: tail may queue behind max_batch forwards +
+        # the wait window, but must not drift toward the timeout
+        assert p99 < max(20 * p50, 2.0), (p50, p99)
+        s = batcher.stats()
+        assert s["requests"] >= n_threads * per_thread
+        assert s["forwards"] < s["requests"]  # batching actually happened
+    finally:
+        batcher.close()
