@@ -21,27 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from doubleattentionspeakerverification_tpu.cli.extract_features import main as extract_main
 from doubleattentionspeakerverification_tpu.cli.get_embedding import main as embed_main
 from doubleattentionspeakerverification_tpu.cli.train import main as train_main
-from doubleattentionspeakerverification_tpu.data.wav import write_wav
 
-
-def make_wavs(root: str, n_speakers=4, per_speaker=5, seconds=1.5, sr=16000):
-    rng = np.random.default_rng(0)
-    os.makedirs(root, exist_ok=True)
-    paths, labels = [], []
-    for spk in range(n_speakers):
-        f0 = 140 + 80 * spk
-        for i in range(per_speaker):
-            t = np.arange(int(seconds * sr)) / sr
-            y = (
-                0.3 * np.sin(2 * np.pi * f0 * t)
-                + 0.2 * np.sin(2 * np.pi * 2.1 * f0 * t + 0.3)
-                + 0.03 * rng.standard_normal(len(t))
-            )
-            p = os.path.join(root, f"spk{spk}_utt{i}.wav")
-            write_wav(p, y, sr)
-            paths.append(p)
-            labels.append(spk)
-    return paths, labels
+from examples.example_corpus import make_wavs  # CMN-surviving FM speakers
 
 
 def main(workdir: str = "/tmp/dmha_quickstart") -> int:
