@@ -92,6 +92,24 @@ def main():
         train_cfg = TrainConfig(
             assume_full_lengths=assume_full, batch_size=4, gradient_accumulation=2
         )
+    # --large_vocab: the production-scale classifier (VERDICT r1 #4) — the
+    # same flagship step with a 100k-speaker AM-Softmax head (reference
+    # loss.py:5-52 scaled past what torch DP could fit on one card).
+    # --classifier_chunk N additionally benches the memory-bounded chunked
+    # CE (ops/chunked_amsoftmax.py) instead of dense logits.
+    large_vocab = "--large_vocab" in sys.argv
+    if large_vocab:
+        import dataclasses
+
+        chunk = 0
+        for a in sys.argv:
+            if a.startswith("--classifier_chunk="):
+                chunk = int(a.split("=", 1)[1])
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            num_spkrs=1024 if smoke else 100_000,
+            classifier_chunk=chunk,
+        )
     cfg = ExperimentConfig(model=model_cfg, train=train_cfg)
     g, b = cfg.train.gradient_accumulation, cfg.train.batch_size
     t = int(cfg.train.window_size * 100)  # 350 frames = 3.5 s
@@ -141,31 +159,34 @@ def main():
     train_elapsed = step_time  # per-step
     state = state_box[0]
 
-    # ---- embedding throughput (10 s utterances, batch 16)
+    # ---- embedding throughput (10 s utterances, batch 16); skipped in
+    # large-vocab mode (the head doesn't affect embedding extraction)
     eb, et = (4, 200) if smoke else (16, 1000)
-    embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
-    x = rng.standard_normal((eb, et, 80)).astype(np.float32)
-    # full-length batch: lengths=None compiles the unmasked forward (same
-    # code path the embedding CLI uses for single unpadded utterances);
-    # --masked keeps masks
-    lens = np.full((eb,), et, np.int32) if not assume_full else None
-    x = jax.device_put(x)
+    embed_time = embed_audio = None
+    if not large_vocab:
+        embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
+        x = rng.standard_normal((eb, et, 80)).astype(np.float32)
+        # full-length batch: lengths=None compiles the unmasked forward (same
+        # code path the embedding CLI uses for single unpadded utterances);
+        # --masked keeps masks
+        lens = np.full((eb,), et, np.int32) if not assume_full else None
+        x = jax.device_put(x)
 
-    scalar_of = jax.jit(lambda e: e[0, 0])
+        scalar_of = jax.jit(lambda e: e[0, 0])
 
-    def one_embed(_i):
-        e = embed_fn(state.params, state.model_state, x, lens)
-        return scalar_of(e)
+        def one_embed(_i):
+            e = embed_fn(state.params, state.model_state, x, lens)
+            return scalar_of(e)
 
-    timed_chain(one_embed, 1)
-    # longer chains than the train section: embed steps are ~2x faster, so
-    # the same chain lengths leave the latency-corrected difference noisier
-    # (run-to-run spread of 20-30% was observed on the relay at 4/16)
-    ek1, ek2 = 8, 40
-    e_a = timed_chain(one_embed, ek1)
-    e_b = timed_chain(one_embed, ek2)
-    embed_time = max(1e-9, (e_b - e_a) / (ek2 - ek1))
-    embed_audio = (eb * (et / 100.0)) / embed_time
+        timed_chain(one_embed, 1)
+        # longer chains than the train section: embed steps are ~2x faster,
+        # so the same chain lengths leave the latency-corrected difference
+        # noisier (20-30% run-to-run spread was observed on the relay at 4/16)
+        ek1, ek2 = 8, 40
+        e_a = timed_chain(one_embed, ek1)
+        e_b = timed_chain(one_embed, ek2)
+        embed_time = max(1e-9, (e_b - e_a) / (ek2 - ek1))
+        embed_audio = (eb * (et / 100.0)) / embed_time
 
     # ---- end-to-end train: fresh host batches each step, bf16 transfer
     # (the production path: loader -> device copy -> step; proves the copy
@@ -202,10 +223,9 @@ def main():
     )
 
     train_tflops = steps_per_s * g * b * train_flops_per_sample(cfg.model, t) / 1e12
-    embed_tflops = (eb / embed_time) * forward_flops_per_sample(cfg.model, et) / 1e12
 
     result = {
-        "metric": "train_throughput",
+        "metric": "train_throughput_large_vocab" if large_vocab else "train_throughput",
         "value": round(train_audio, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(train_audio / REFERENCE_BASELINE_AUDIO_S_PER_S, 3),
@@ -214,9 +234,34 @@ def main():
             "train_samples_per_s": round(steps_per_s * g * b, 1),
             "train_tflops": round(train_tflops, 1),
             "train_mfu": round(train_tflops / V5E_BF16_PEAK_TFLOPS, 3),
-            "embed_audio_s_per_s": round(embed_audio, 1),
-            "embed_tflops": round(embed_tflops, 1),
-            "embed_mfu": round(embed_tflops / V5E_BF16_PEAK_TFLOPS, 3),
+            **(
+                {
+                    "num_spkrs": cfg.model.num_spkrs,
+                    "classifier_chunk": cfg.model.classifier_chunk,
+                }
+                if large_vocab
+                else {}
+            ),
+            **(
+                {
+                    "embed_audio_s_per_s": round(embed_audio, 1),
+                    "embed_tflops": round(
+                        (eb / embed_time)
+                        * forward_flops_per_sample(cfg.model, et)
+                        / 1e12,
+                        1,
+                    ),
+                    "embed_mfu": round(
+                        (eb / embed_time)
+                        * forward_flops_per_sample(cfg.model, et)
+                        / 1e12
+                        / V5E_BF16_PEAK_TFLOPS,
+                        3,
+                    ),
+                }
+                if embed_time is not None
+                else {}
+            ),
             **(
                 {
                     "e2e_audio_s_per_s": round(e2e_audio, 1),

@@ -1,0 +1,202 @@
+"""End-to-end training-throughput soak (BASELINE.md methodology, one command).
+
+Generates a synthetic 64-speaker wav corpus, runs the REAL train CLI for N
+optimizer steps at the flagship config (VGG4L k=1024, H=32, emb 400) through
+the full pipeline — loader -> host DSP/cache -> transfer -> jitted step ->
+periodic async EER validation -> checkpoints — and reports throughput
+parsed from the trainer's own metrics JSONL plus the wall-clock number that
+includes everything.
+
+  python tools/e2e_soak.py --mode hostdsp --steps 400
+  python tools/e2e_soak.py --mode features --steps 400   # offline pickles
+  python tools/e2e_soak.py --mode pcm --steps 400        # int16 waves + device DSP
+
+Modes map to BASELINE.md's three e2e rows. The corpus persists under
+--workdir and is reused across runs. Output: one JSON line.
+
+NOTE (this environment): relay-session throughput varies ~2x run-to-run;
+compare medians of repeated runs, not single numbers (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+STEP_CEILING_AUDIO_S = 4150.0  # bench.py jitted-step ceiling, r1/r2 measured
+
+
+def make_corpus(root: str, n_speakers=64, per_speaker=20, seconds=4.0, sr=16000):
+    """FM-sweep speakers (CMN-surviving, see examples/example_corpus.py) dense
+    enough for 64 classes; seeded, reused across runs."""
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    stamp = os.path.join(root, ".corpus_ok")
+    if os.path.exists(stamp):
+        return
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    for spk in range(n_speakers):
+        f0 = 120.0 + 3.5 * spk
+        fm_rate = 1.5 + 0.11 * spk
+        fm_depth = 40.0 + 1.6 * spk
+        for i in range(per_speaker):
+            phase = rng.uniform(0, 2 * np.pi)
+            inst = f0 * t + (fm_depth / (2 * np.pi * fm_rate)) * np.sin(
+                2 * np.pi * fm_rate * t + phase
+            )
+            y = (
+                0.3 * np.sin(2 * np.pi * inst)
+                + 0.15 * np.sin(2 * np.pi * 2.0 * inst + 0.3)
+                + 0.03 * rng.standard_normal(len(t))
+            )
+            write_wav(os.path.join(root, f"spk{spk:03d}_utt{i:03d}.wav"), y, sr)
+    with open(stamp, "w") as f:
+        f.write("ok")
+
+
+def write_indexes(workdir: str, wav_dir: str, n_speakers=64, per_speaker=20):
+    names = [
+        f"spk{s:03d}_utt{i:03d}" for s in range(n_speakers) for i in range(per_speaker)
+    ]
+    labels = [s for s in range(n_speakers) for _ in range(per_speaker)]
+    with open(os.path.join(workdir, "labels.ndx"), "w") as f:
+        f.writelines(f"{n} {l} -1\n" for n, l in zip(names, labels))
+    with open(os.path.join(workdir, "clients.ndx"), "w") as f:
+        for s in range(32):
+            f.write(f"spk{s:03d}_utt000 spk{s:03d}_utt001\n")
+    with open(os.path.join(workdir, "impostors.ndx"), "w") as f:
+        for s in range(32):
+            f.write(f"spk{s:03d}_utt000 spk{(s + 7) % n_speakers:03d}_utt002\n")
+
+
+def extract_pickles(wav_dir: str, workdir: str):
+    stamp = os.path.join(wav_dir, ".pickles_ok")
+    if os.path.exists(stamp):
+        return
+    lst = os.path.join(workdir, "files.lst")
+    with open(lst, "w") as f:
+        f.writelines(
+            os.path.join(wav_dir, n) + "\n"
+            for n in sorted(os.listdir(wav_dir))
+            if n.endswith(".wav")
+        )
+    rc = subprocess.run(
+        [sys.executable, "-m",
+         "doubleattentionspeakerverification_tpu.cli.extract_features", "-i", lst],
+        cwd=REPO,
+    ).returncode
+    if rc != 0:
+        raise RuntimeError("feature extraction failed")
+    with open(stamp, "w") as f:
+        f.write("ok")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["features", "hostdsp", "pcm"], default="hostdsp")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--workdir", default="/tmp/dmha_soak")
+    ap.add_argument("--per_speaker", type=int, default=20,
+                    help="utterances per speaker (20 -> 1280 files, the "
+                         "BASELINE.md corpus; larger amortizes the 10-step "
+                         "epoch pipeline restarts of the small corpus)")
+    ap.add_argument("--validate_every", type=int, default=50)
+    ap.add_argument("--print_every", type=int, default=10)
+    ap.add_argument("--sync_validation", action="store_true",
+                    help="disable the async-validation overlap (for A/B)")
+    ap.add_argument("--timeout_s", type=int, default=3000)
+    args = ap.parse_args()
+
+    n_files = 64 * args.per_speaker
+    wav_dir = os.path.join(args.workdir, f"wavs_{args.per_speaker}")
+    os.makedirs(args.workdir, exist_ok=True)
+    make_corpus(wav_dir, per_speaker=args.per_speaker)
+    write_indexes(args.workdir, wav_dir, per_speaker=args.per_speaker)
+    if args.mode == "features":
+        extract_pickles(wav_dir, args.workdir)
+
+    # e.g. 1280 files / (64 batch x 2 accum) = 10 optimizer steps per epoch
+    steps_per_epoch = n_files // 128
+    epochs = -(-args.steps // steps_per_epoch)
+    out_dir = os.path.join(args.workdir, f"out_{args.mode}_{int(time.time())}")
+
+    cli = [
+        sys.executable, "-m", "doubleattentionspeakerverification_tpu.cli.train",
+        "--train_data_dir", wav_dir,
+        "--valid_data_dir", wav_dir,
+        "--train_labels_path", os.path.join(args.workdir, "labels.ndx"),
+        "--valid_clients", os.path.join(args.workdir, "clients.ndx"),
+        "--valid_impostors", os.path.join(args.workdir, "impostors.ndx"),
+        "--out_dir", out_dir, "--model_name", "soak",
+        # flagship model (defaults: VGG4L kernel 1024, 32 heads, emb 400)
+        "--window_size", "3.5", "--batch_size", "64",
+        "--gradientAccumulation", "2",
+        "--max_epochs", str(epochs),
+        "--validate_every", str(args.validate_every),
+        "--print_every", str(args.print_every),
+        "--checkpoint_every", "100",
+        "--stall_exit_s", "600",
+    ]
+    if args.sync_validation:
+        cli.append("--sync_validation")
+    if args.mode == "features":
+        cli += ["--data_source", "features", "--transfer_dtype", "bfloat16"]
+    elif args.mode == "hostdsp":
+        cli += ["--data_source", "wav", "--host_dsp", "--transfer_dtype", "bfloat16",
+                "--feature_cache_mb", "2048"]
+    else:  # pcm: int16 waves to the device, DSP on-chip (pallas auto-gates)
+        cli += ["--data_source", "wav", "--transfer_dtype", "int16"]
+
+    t0 = time.time()
+    proc = subprocess.run(cli, cwd=REPO, timeout=args.timeout_s)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(json.dumps({"error": f"train CLI rc={proc.returncode}"}))
+        return 1
+
+    jsonl = [f for f in os.listdir(out_dir) if f.endswith("_metrics.jsonl")]
+    events = [json.loads(l) for l in open(os.path.join(out_dir, jsonl[0]))]
+    train = [e for e in events if e["event"] == "train"]
+    eers = [e["eer"] for e in events if e["event"] == "validate" and "eer" in e]
+    tput = np.array([e["audio_s_per_s"] for e in train])
+    warm = tput[2:] if len(tput) > 4 else tput  # drop compile windows
+    total_steps = int(train[-1]["step"]) if train else 0
+    # train-loop wall-clock: first train print -> last event. The first
+    # window absorbs the compiles, so count only the audio-seconds of the
+    # steps after it (validations + checkpoints stay included).
+    steady_steps = total_steps - (int(train[0]["step"]) if train else 0)
+    total_audio_s = steady_steps * 64 * 2 * 3.5
+    span = events[-1]["time"] - train[0]["time"] if train else wall
+    result = {
+        "metric": "e2e_train_throughput",
+        "mode": args.mode,
+        "steps": total_steps,
+        "median_audio_s_per_s": round(float(np.median(warm)), 1),
+        "p10": round(float(np.percentile(warm, 10)), 1),
+        "p90": round(float(np.percentile(warm, 90)), 1),
+        "wallclock_audio_s_per_s": round(total_audio_s / span, 1),
+        "pct_of_step_ceiling": round(
+            100.0 * float(np.median(warm)) / STEP_CEILING_AUDIO_S, 1
+        ),
+        "final_acc": train[-1]["accuracy"] if train else None,
+        "eers": eers,
+        "sync_validation": bool(args.sync_validation),
+        "total_wall_s": round(wall, 1),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

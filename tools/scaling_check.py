@@ -95,9 +95,13 @@ def main() -> int:
         "labels": rng.integers(0, n_spk, (g, b)).astype(np.int32),
     }
 
+    window_s = 0.48  # t=48 frames
     ref_loss = None
-    print(f"{'mesh':>12} {'loss':>10} {'parity':>8} {'ms/step':>8}  collectives")
-    for n_dev, model_axis in ((1, 1), (2, 1), (4, 2), (8, 2)):
+    print(f"{'mesh':>12} {'loss':>10} {'parity':>8} {'ms/step':>8} "
+          f"{'audio-s/s/chip':>14}  collectives")
+    for n_dev, model_axis in (
+        (1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (4, 4), (8, 2), (8, 4)
+    ):
         cfg = ExperimentConfig(
             model=ModelConfig(kernel_size=16, heads_number=4,
                               embedding_size=32, num_spkrs=n_spk),
@@ -126,8 +130,11 @@ def main() -> int:
             ref_loss = loss
         ok = abs(loss - ref_loss) < 1e-4 * max(1.0, abs(ref_loss))
         shape = "x".join(f"{k}={v}" for k, v in mesh.shape.items())
+        # per-chip throughput at this layout; on the virtual CPU mesh this
+        # shows structural scaling only — rerun on a real slice for numbers
+        audio_per_chip = b * g * window_s / (ms / 1e3) / n_dev
         print(f"{shape:>12} {loss:>10.5f} {'OK' if ok else 'MISMATCH':>8} "
-              f"{ms:>8.1f}  {collective_counts(hlo) or '-'}")
+              f"{ms:>8.1f} {audio_per_chip:>14.1f}  {collective_counts(hlo) or '-'}")
         if not ok:
             return 1
     print("scaling check passed: identical loss on every mesh")
