@@ -56,6 +56,12 @@ class Trainer:
         self.num_hosts = num_hosts
         self.model_name = cfg.derived_model_name()
 
+        # Stall detection must cover CONSTRUCTION too: on relayed backends a
+        # wedged RPC has been observed inside the very first device call
+        # (param init / kernel-gate compile), before the train loop's beats
+        # begin — a watchdog started in train() never fires for those.
+        self._watchdog = self._make_watchdog().start()
+
         params, model_state = init_speaker_classifier(
             jax.random.PRNGKey(cfg.train.seed), cfg.model
         )
@@ -388,14 +394,10 @@ class Trainer:
                 )
                 self.log.log("lr_halved", lr=new_lr)
 
-    def train(self) -> None:
-        cfg = self.cfg
-        rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
-        self._print_t0 = time.time()
-        self._pause_s = 0.0
-
+    def _make_watchdog(self):
         from ..utils.watchdog import Watchdog
 
+        cfg = self.cfg
         stall_since = {"step": None, "t0": 0.0}
 
         def on_stall(age: float, last: int) -> None:
@@ -418,10 +420,18 @@ class Trainer:
                     pass
                 os._exit(17)  # a wedged backend call cannot be unwound cleanly
 
-        watchdog = Watchdog(
+        return Watchdog(
             timeout_s=min(600.0, cfg.train.stall_exit_s) if cfg.train.stall_exit_s > 0 else 600.0,
             on_stall=on_stall,
-        ).start()
+        )
+
+    def train(self) -> None:
+        cfg = self.cfg
+        rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
+        self._print_t0 = time.time()
+        self._pause_s = 0.0
+        watchdog = self._watchdog
+        watchdog.beat(-1)  # construction survived; the loop beats from here
 
         self.log.log("start_training", model=self.model_name,
                      steps_per_epoch=self.loader.steps_per_epoch())

@@ -705,3 +705,15 @@ def test_async_validation_matches_sync(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(st_a.params["amsoftmax"]["W"]), np.asarray(st_s.params["amsoftmax"]["W"])
     )
+
+
+def test_watchdog_covers_trainer_construction(tmp_path):
+    """Relayed backends have wedged inside the FIRST device call (param init
+    / gate compile) — before train() ever runs. The stall watchdog must
+    therefore already be beating from Trainer.__init__, not from train()."""
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path)
+    tr = Trainer(cfg)
+    wd = tr._watchdog
+    assert wd._thread is not None and wd._thread.is_alive()
+    wd.stop()

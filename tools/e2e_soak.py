@@ -115,6 +115,10 @@ def main() -> int:
     ap.add_argument("--print_every", type=int, default=10)
     ap.add_argument("--sync_validation", action="store_true",
                     help="disable the async-validation overlap (for A/B)")
+    ap.add_argument("--assume_full_lengths", action="store_true",
+                    help="loader-verified full-window fast path (valid here: "
+                         "every soak utterance exceeds the train window)")
+    ap.add_argument("--device_prefetch", type=int, default=0)
     ap.add_argument("--timeout_s", type=int, default=3000)
     args = ap.parse_args()
 
@@ -150,6 +154,10 @@ def main() -> int:
     ]
     if args.sync_validation:
         cli.append("--sync_validation")
+    if args.assume_full_lengths:
+        cli.append("--assume_full_lengths")
+    if args.device_prefetch:
+        cli += ["--device_prefetch", str(args.device_prefetch)]
     if args.mode == "features":
         cli += ["--data_source", "features", "--transfer_dtype", "bfloat16"]
     elif args.mode == "hostdsp":

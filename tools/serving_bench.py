@@ -1,0 +1,138 @@
+"""Serving latency/throughput point for the MicroBatcher on real hardware.
+
+Measures the micro-batched embedding service (serving.py) with the flagship
+model: N client threads issue requests of mixed utterance lengths for a
+fixed duration; reports p50/p90/p99 latency, requests/s, audio-s/s, and the
+batching ratio. One JSON line, mirroring bench.py's contract.
+
+  python tools/serving_bench.py                  # flagship model, ~2 min compile/bucket
+  python tools/serving_bench.py --smoke          # tiny model on CPU (harness check)
+
+NOTE (this environment): the axon relay adds ~26 ms RPC latency per host
+read — per-request latency here is relay-dominated; on a directly-attached
+TPU the same dispatch costs microseconds. Throughput is the honest number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+    from doubleattentionspeakerverification_tpu.config import (
+        ExperimentConfig,
+        ModelConfig,
+    )
+    from doubleattentionspeakerverification_tpu.serving import MicroBatcher
+
+    if args.smoke:
+        cfg = ExperimentConfig(
+            model=ModelConfig(kernel_size=16, heads_number=4,
+                              embedding_size=16, num_spkrs=4)
+        )
+        buckets = (64, 128, 256)
+        lengths = [40, 100, 200]
+    else:
+        cfg = ExperimentConfig()  # flagship
+        buckets = (200, 350, 500, 1000)
+        lengths = [150, 300, 350, 480, 800, 1000]  # 1.5 s - 10 s utterances
+
+    model = SpeakerEmbeddingModel.from_random_init(cfg, seed=0)
+    batcher = MicroBatcher(
+        model, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        buckets=buckets,
+    )
+    rng0 = np.random.default_rng(0)
+    feats = {
+        t: rng0.standard_normal((t, 80)).astype(np.float32) for t in lengths
+    }
+
+    try:
+        for t in buckets:  # compile every bucket before timing
+            batcher.embed(
+                np.asarray(feats[min(lengths, key=lambda l: abs(l - t))][: t - 1]),
+                timeout=600,
+            )
+
+        stop_at = time.perf_counter() + args.seconds
+        lat, audio, lock = [], [0.0], threading.Lock()
+        errors = []
+
+        def client(tid):
+            rng = np.random.default_rng(tid)
+            while time.perf_counter() < stop_at:
+                t = int(rng.choice(lengths))
+                t0 = time.perf_counter()
+                try:
+                    batcher.embed(feats[t], timeout=120)
+                except Exception as e:
+                    errors.append(repr(e))
+                    return
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+                    audio[0] += t / 100.0
+
+        t_start = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(args.threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=args.seconds + 300)
+        elapsed = time.perf_counter() - t_start
+        if errors:
+            print(json.dumps({"error": errors[:3]}))
+            return 1
+
+        ls = np.sort(lat)
+        s = batcher.stats()
+        result = {
+            "metric": "serve_throughput",
+            "value": round(audio[0] / elapsed, 1),
+            "unit": "audio_s/s/chip",
+            "extras": {
+                "requests_per_s": round(len(ls) / elapsed, 1),
+                "p50_ms": round(1e3 * float(ls[len(ls) // 2]), 1),
+                "p90_ms": round(1e3 * float(ls[int(len(ls) * 0.9)]), 1),
+                "p99_ms": round(1e3 * float(ls[int(len(ls) * 0.99)]), 1),
+                "n_requests": len(ls),
+                "threads": args.threads,
+                "batched_ratio": round(s["requests"] / max(1, s["forwards"]), 2),
+                "max_batch": args.max_batch,
+                "max_wait_ms": args.max_wait_ms,
+                "device": str(jax.devices()[0]),
+                **({"smoke": True} if args.smoke else {}),
+            },
+        }
+        print(json.dumps(result), flush=True)
+        return 0
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
