@@ -430,7 +430,11 @@ class Trainer:
         rng0 = jax.random.PRNGKey(cfg.train.seed + 17)
         self._print_t0 = time.time()
         self._pause_s = 0.0
-        watchdog = self._watchdog
+        # normally created at construction (so a wedged first compile is
+        # covered too); lazily created for Trainers assembled piecewise
+        watchdog = getattr(self, "_watchdog", None)
+        if watchdog is None:
+            watchdog = self._watchdog = self._make_watchdog().start()
         watchdog.beat(-1)  # construction survived; the loop beats from here
 
         self.log.log("start_training", model=self.model_name,
