@@ -460,14 +460,23 @@ class Trainer:
                 depth=cfg.train.device_prefetch,
                 shardings=self._batch_shardings if self.mesh is not None else None,
             )
-            for batch in batches:
+            batches_it = iter(batches)
+            wait_s = dispatch_s = 0.0  # host-side accounting per print window
+            while True:
+                t_w = time.perf_counter()
+                batch = next(batches_it, None)
+                wait_s += time.perf_counter() - t_w
+                if batch is None:
+                    break
                 evt = profiler.before_step(
                     step, sync=None if last_metrics is None else last_metrics["loss"]
                 )
                 if evt:
                     self.log.log(f"profile_{evt}", step=step, dir=cfg.train.profile_dir)
                 step_rng = jax.random.fold_in(rng0, step)
+                t_d = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
+                dispatch_s += time.perf_counter() - t_d
                 last_metrics = metrics
                 metric_buf.append((metrics["loss"], metrics["accuracy"]))
                 step += 1
@@ -488,7 +497,12 @@ class Trainer:
                         accuracy=100.0 * window_acc / max(1, window_n),
                         audio_s_per_s=samples * cfg.train.window_size / max(1e-9, elapsed),
                         elapsed_min=elapsed / 60,
+                        # where the window's host time went: blocked on the
+                        # loader vs dispatching the step (transfer+trace)
+                        loader_wait_s=round(wait_s, 3),
+                        dispatch_s=round(dispatch_s, 3),
                     )
+                    wait_s = dispatch_s = 0.0
                     self._print_t0 = time.time()
                     self._pause_s = 0.0
 
