@@ -71,6 +71,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             profile_start_step=params.profile_start_step,
             profile_steps=params.profile_steps,
             async_validation=not params.sync_validation,
+            post_step_bench=params.post_step_bench,
             specaugment=params.specaugment,
             specaugment_time_masks=params.specaugment_time_masks,
             specaugment_time_width=params.specaugment_time_width,
@@ -211,6 +212,10 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--assume_full_lengths", action="store_true",
                         help="all training windows are full-length: drop masking "
                              "from the compiled step (~3%% faster)")
+    parser.add_argument("--post_step_bench", type=int, default=0,
+                        help="after training, chain N jitted steps on a "
+                             "device-resident batch and log this session's "
+                             "isolated-step ms (step_bench event)")
     parser.add_argument("--sync_validation", action="store_true",
                         help="run EER validation serially (reference behavior); "
                         "default overlaps it with training in a background "

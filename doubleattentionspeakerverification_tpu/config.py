@@ -170,6 +170,12 @@ class TrainConfig:
     # before LR-halving / early-stop checks. Forced off on multi-host runs
     # (two threads issuing collectives can deadlock across hosts).
     async_validation: bool = True
+    # After training, chain this many jitted steps on a device-resident copy
+    # of the last batch and log a `step_bench` event (ms/step, two-point
+    # latency-corrected). Gives the isolated-step ceiling OF THIS SESSION —
+    # on relayed backends session speed drifts run-to-run, so an e2e
+    # throughput is only interpretable against its own session's ceiling.
+    post_step_bench: int = 0
     specaugment: bool = False
     specaugment_time_masks: int = 2       # masks per sample over the time axis
     specaugment_time_width: int = 30      # max frames per time mask

@@ -255,7 +255,7 @@ class Trainer:
             self._apply_validation(result, self.state, self.epoch)
             # exclude validation time from the throughput print window;
             # resetting _print_t0 here would instead desync it from
-            # metric_buf (steps before the validation would be divided by
+            # the metric window (steps before the validation would be divided by
             # post-validation time only)
             self._pause_s += time.time() - t_pause
             return
@@ -443,8 +443,17 @@ class Trainer:
 
         # metrics stay on device between prints: fetching a scalar per step
         # would force a host sync every step (expensive on relayed backends)
-        # and serialize dispatch, killing transfer/compute overlap
-        metric_buf = []
+        # and serialize dispatch, killing transfer/compute overlap. The
+        # window accumulation is a single fused jitted add per step — stacking
+        # a Python list of device scalars at print time instead costs one
+        # relay RPC per buffered scalar (~100 ms/step measured at
+        # print_every=10 on the axon relay).
+        metric_accum = jax.jit(
+            lambda c, l, a: c + jnp.stack((l, a)).astype(jnp.float32)
+        )
+        metric_zero = jnp.zeros((2,), jnp.float32)
+        metric_sum = metric_zero
+        metric_n = 0
         step = int(self.state.step)
         from ..utils.profiling import StepProfiler
         from .device_prefetch import device_prefetch
@@ -453,6 +462,7 @@ class Trainer:
             cfg.train.profile_dir, cfg.train.profile_start_step, cfg.train.profile_steps
         )
         last_metrics = None
+        last_batch = None
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             batches = device_prefetch(
@@ -468,6 +478,7 @@ class Trainer:
                 wait_s += time.perf_counter() - t_w
                 if batch is None:
                     break
+                last_batch = batch
                 evt = profiler.before_step(
                     step, sync=None if last_metrics is None else last_metrics["loss"]
                 )
@@ -478,15 +489,18 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 dispatch_s += time.perf_counter() - t_d
                 last_metrics = metrics
-                metric_buf.append((metrics["loss"], metrics["accuracy"]))
+                metric_sum = metric_accum(
+                    metric_sum, metrics["loss"], metrics["accuracy"]
+                )
+                metric_n += 1
                 step += 1
                 watchdog.beat(step)
 
                 if step % cfg.train.print_every == 0:
-                    vals = np.asarray(jnp.stack([jnp.stack(m) for m in metric_buf]))
-                    window_loss, window_acc = vals[:, 0].sum(), vals[:, 1].sum()
-                    window_n = len(metric_buf)
-                    metric_buf = []
+                    vals = np.asarray(metric_sum)  # ONE host fetch per window
+                    window_loss, window_acc = float(vals[0]), float(vals[1])
+                    window_n = metric_n
+                    metric_sum, metric_n = metric_zero, 0
                     elapsed = time.time() - self._print_t0 - self._pause_s
                     samples = window_n * cfg.train.batch_size * cfg.train.gradient_accumulation
                     self.log.log(
@@ -523,4 +537,34 @@ class Trainer:
         watchdog.stop()
         profiler.close(sync=None if last_metrics is None else last_metrics["loss"])
         self._checkpointer.wait()
+        if cfg.train.post_step_bench > 0 and last_metrics is not None:
+            self._post_step_bench(last_batch, rng0, cfg.train.post_step_bench)
         self.log.log("finished", best_eer=self.best_eer)
+
+    def _post_step_bench(self, batch, rng, n: int) -> None:
+        """Isolated-step ceiling of THIS session: chain the already-compiled
+        train step on a device-resident copy of the last batch (no loader, no
+        transfer) and log ms/step, two-point latency-corrected (bench.py's
+        method — on relayed backends only a host read synchronizes, and each
+        read carries a large constant latency that differencing cancels)."""
+        if self.mesh is not None:
+            dev_batch = jax.device_put(
+                batch, {k: self._batch_shardings[k] for k in batch}
+            )
+        else:
+            dev_batch = jax.device_put(batch)
+
+        def chain(k: int) -> float:
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(k):
+                self.state, m = self.train_step(self.state, dev_batch, rng)
+            float(m["loss"])  # host fetch -> full sync
+            return time.perf_counter() - t0
+
+        k1 = max(2, n // 4)
+        chain(1)  # warm (already compiled; primes any relay caches)
+        t_a = chain(k1)
+        t_b = chain(n)
+        ms = (t_b - t_a) / max(1, n - k1) * 1e3
+        self.log.log("step_bench", ms_per_step=round(ms, 2), steps=n)

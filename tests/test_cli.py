@@ -1,5 +1,6 @@
 """CLI end-to-end: wav list -> feature pickles -> training -> embedding."""
 
+import json
 import os
 import pickle
 
@@ -64,12 +65,17 @@ def test_full_cli_pipeline(tmp_path, capsys):
         "--kernel_size", "16", "--heads_number", "4", "--embedding_size", "24",
         "--window_size", "0.6", "--batch_size", "3", "--gradientAccumulation", "2",
         "--max_epochs", "1", "--validate_every", "2", "--print_every", "1",
-        "--checkpoint_every", "1",
+        "--checkpoint_every", "1", "--post_step_bench", "4",
     ])
     assert rc == 0
     ckpts = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
     assert ckpts, os.listdir(out_dir)
     assert any(f.endswith("_config.json") for f in os.listdir(out_dir))
+    # the post-training same-session step bench logged a sane ms/step
+    metrics = [f for f in os.listdir(out_dir) if f.endswith("_metrics.jsonl")]
+    events = [json.loads(l) for l in open(os.path.join(out_dir, metrics[0]))]
+    bench = [e for e in events if e["event"] == "step_bench"]
+    assert bench and bench[0]["ms_per_step"] > 0
 
     # 4. embedding CLI from the checkpoint
     ckpt = os.path.join(out_dir, sorted(ckpts)[-1])
