@@ -164,7 +164,15 @@ def main():
     eb, et = (4, 200) if smoke else (16, 1000)
     embed_time = embed_audio = None
     if not large_vocab:
-        embed_fn = jax.jit(partial(get_embedding, cfg=cfg.model))
+        # resolve the auto kernel flags exactly like the production embed
+        # paths (api.py / EmbeddingExtractor) so the bench measures the
+        # configuration users actually run
+        from doubleattentionspeakerverification_tpu.utils.kernel_auto import (
+            resolve_model_kernels,
+        )
+
+        embed_cfg = resolve_model_kernels(cfg.model, need_dsp=False)
+        embed_fn = jax.jit(partial(get_embedding, cfg=embed_cfg))
         x = rng.standard_normal((eb, et, 80)).astype(np.float32)
         # full-length batch: lengths=None compiles the unmasked forward (same
         # code path the embedding CLI uses for single unpadded utterances);

@@ -50,7 +50,8 @@ class SpeakerEmbeddingModel:
             from .utils.kernel_auto import resolve_model_kernels
 
             self._embed = jax.jit(
-                partial(get_embedding, cfg=resolve_model_kernels(cfg.model, cfg.features))
+                partial(get_embedding, cfg=resolve_model_kernels(
+                    cfg.model, cfg.features, need_dsp=False))
             )
         else:
             raise ValueError(f"unknown quantize mode {quantize!r}")

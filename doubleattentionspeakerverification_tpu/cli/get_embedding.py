@@ -43,7 +43,7 @@ def embed_wav(audio_path: str, params, model_state, cfg: ExperimentConfig,
 
     emb = get_embedding(
         params, model_state, np.asarray(feats)[None], None,
-        resolve_model_kernels(cfg.model, cfg.features),
+        resolve_model_kernels(cfg.model, cfg.features, need_dsp=False),
     )
     return np.asarray(emb)[0]
 

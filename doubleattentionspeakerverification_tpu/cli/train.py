@@ -279,7 +279,10 @@ def main(argv=None) -> int:
             return 1
     elif params.requeue:
         trainer.resume()
-    trainer.train()
+    try:
+        trainer.train()
+    finally:
+        logger.close()  # flush + release the JSONL fh and TB event file
     return 0
 
 

@@ -134,6 +134,10 @@ class TrainConfig:
     # many seconds without a completed step, dump all thread stacks and
     # _exit(17) so a requeue wrapper (slurm --requeue + --requeue flag here)
     # restarts from the newest checkpoint instead of hanging forever.
+    # The clock starts at Trainer CONSTRUCTION (a wedged first device call
+    # has been observed there) — library users who construct a Trainer long
+    # before calling train() should keep this 0 and rely on the log-only
+    # watchdog, or construct right before training.
     stall_exit_s: float = 0.0
     # Static promise that every training window is full-length (all files
     # >= window_size seconds): drops the masking ops from the compiled step

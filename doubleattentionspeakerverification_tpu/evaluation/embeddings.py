@@ -149,7 +149,8 @@ class EmbeddingExtractor:
     ):
         from ..utils.kernel_auto import resolve_model_kernels
 
-        cfg = resolve_model_kernels(cfg)  # concrete use_pallas_* for this backend
+        # embeds from features: the on-device DSP is never run here
+        cfg = resolve_model_kernels(cfg, need_dsp=False)
         self.params = params
         self.state = state
         self.cfg = cfg

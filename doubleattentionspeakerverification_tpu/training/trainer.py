@@ -70,7 +70,8 @@ class Trainer:
         from ..utils.kernel_auto import resolve_model_kernels
 
         self._embed_jit = jax.jit(
-            partial(get_embedding, cfg=resolve_model_kernels(cfg.model, cfg.features))
+            partial(get_embedding, cfg=resolve_model_kernels(
+                cfg.model, cfg.features, need_dsp=False))
         )
 
         # Mesh placement: with >1 device the batch shards over 'data' and the
@@ -243,10 +244,14 @@ class Trainer:
             return
         th, box, snap, epoch = self._pending_val
         self._pending_val = None
+        t_pause = time.time()
         th.join()
         if "error" in box:
             raise box["error"]
         self._apply_validation(box["result"], snap, epoch)
+        # blocked-on-join time is excluded from the throughput print window
+        # (like sync-mode validation); wall-clock metrics still include it
+        self._pause_s += time.time() - t_pause
 
     def _on_validation(self) -> None:
         if not self._async_validation_enabled():
@@ -463,6 +468,7 @@ class Trainer:
         )
         last_metrics = None
         last_batch = None
+        wait_s = dispatch_s = 0.0  # host-side accounting per print window
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             batches = device_prefetch(
@@ -471,7 +477,6 @@ class Trainer:
                 shardings=self._batch_shardings if self.mesh is not None else None,
             )
             batches_it = iter(batches)
-            wait_s = dispatch_s = 0.0  # host-side accounting per print window
             while True:
                 t_w = time.perf_counter()
                 batch = next(batches_it, None)
@@ -534,14 +539,20 @@ class Trainer:
                 break
             self._halve_lr_if_stagnant()
         self._join_validation()
-        watchdog.stop()
         profiler.close(sync=None if last_metrics is None else last_metrics["loss"])
         self._checkpointer.wait()
         if cfg.train.post_step_bench > 0 and last_metrics is not None:
-            self._post_step_bench(last_batch, rng0, cfg.train.post_step_bench)
+            # still under the watchdog: the bench issues device calls + a
+            # host fetch, which can hit the same relay wedge as any step
+            self._post_step_bench(last_batch, rng0, cfg.train.post_step_bench,
+                                  watchdog)
+        watchdog.stop()
+        # a second train() on this instance must get a fresh watchdog, not
+        # the stopped one
+        self._watchdog = None
         self.log.log("finished", best_eer=self.best_eer)
 
-    def _post_step_bench(self, batch, rng, n: int) -> None:
+    def _post_step_bench(self, batch, rng, n: int, watchdog=None) -> None:
         """Isolated-step ceiling of THIS session: chain the already-compiled
         train step on a device-resident copy of the last batch (no loader, no
         transfer) and log ms/step, two-point latency-corrected (bench.py's
@@ -560,11 +571,14 @@ class Trainer:
             for _ in range(k):
                 self.state, m = self.train_step(self.state, dev_batch, rng)
             float(m["loss"])  # host fetch -> full sync
+            if watchdog is not None:
+                watchdog.beat(-2)  # bench progress counts as liveness
             return time.perf_counter() - t0
 
+        n = max(8, n)  # two-point timing needs k1 = n//4 strictly below n
         k1 = max(2, n // 4)
         chain(1)  # warm (already compiled; primes any relay caches)
         t_a = chain(k1)
         t_b = chain(n)
-        ms = (t_b - t_a) / max(1, n - k1) * 1e3
+        ms = (t_b - t_a) / (n - k1) * 1e3
         self.log.log("step_bench", ms_per_step=round(ms, 2), steps=n)

@@ -123,13 +123,26 @@ def _pooling_parity_ok(mcfg: ModelConfig) -> bool:
 
 
 def resolve_model_kernels(
-    mcfg: ModelConfig, feat_cfg: Optional[FeatureConfig] = None
+    mcfg: ModelConfig,
+    feat_cfg: Optional[FeatureConfig] = None,
+    need_dsp: bool = True,
 ) -> ModelConfig:
-    """Concrete use_pallas_* flags for this process's backend (see module doc)."""
+    """Concrete use_pallas_* flags for this process's backend (see module doc).
+
+    ``need_dsp=False`` marks jit sites that never run the on-device DSP
+    (feature-mode training, embedding-from-features): the DSP flag resolves
+    to False without compiling/executing the Pallas log-mel gate — the gate
+    is real device work, and on relayed backends every avoidable first-call
+    is one less chance to hit the first-call wedge.
+    """
     dsp, pool = mcfg.use_pallas_dsp, mcfg.use_pallas_pooling
     if dsp is None:
-        dsp = _on_tpu() and _dsp_parity_ok(feat_cfg or FeatureConfig())
-        _DECISIONS["use_pallas_dsp"] = f"auto->{dsp}"
+        if need_dsp:
+            dsp = _on_tpu() and _dsp_parity_ok(feat_cfg or FeatureConfig())
+            _DECISIONS["use_pallas_dsp"] = f"auto->{dsp}"
+        else:
+            dsp = False
+            _DECISIONS.setdefault("use_pallas_dsp", "auto->False (DSP unused here)")
     if pool is None:
         pool = _on_tpu() and _pooling_parity_ok(mcfg)
         _DECISIONS["use_pallas_pooling"] = f"auto->{pool}"
@@ -141,7 +154,15 @@ def resolve_model_kernels(
 def resolve_fast_kernels(cfg: ExperimentConfig) -> ExperimentConfig:
     """ExperimentConfig with concrete kernel flags (checkpoint configs keep
     the tri-state; call this where jitted programs are built)."""
-    resolved = resolve_model_kernels(cfg.model, cfg.features)
+    # the train step runs the on-device DSP only when batches carry raw
+    # waves: wav source without host DSP and without the host feature cache
+    need_dsp = (
+        cfg.data.source == "wav"
+        and not cfg.data.host_dsp
+        and cfg.data.train_feature_cache_mb <= 0
+        and not cfg.data.train_feature_cache_dir
+    )
+    resolved = resolve_model_kernels(cfg.model, cfg.features, need_dsp=need_dsp)
     if resolved is cfg.model:
         return cfg
     return cfg.replace(model=resolved)

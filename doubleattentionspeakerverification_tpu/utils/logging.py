@@ -50,6 +50,10 @@ class MetricLogger:
                 num = self._number(v)
                 if num is not None:
                     self._tb.add_scalar(f"{event}/{k}", num, self._tb_step, ts)
+            # events are print-window cadence, so a flush per event is cheap;
+            # it keeps live dashboards current and survives a watchdog
+            # os._exit (which skips atexit/GC finalizers)
+            self._tb.flush()
 
     @staticmethod
     def _fmt(v) -> str:

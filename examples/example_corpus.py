@@ -34,15 +34,23 @@ def make_wavs(
     seconds: float = 1.5,
     sr: int = 16000,
     seed: int = 0,
+    freq_plan=None,
+    name_fmt: str = "spk{spk}_utt{utt}.wav",
 ) -> Tuple[List[str], List[int]]:
+    """``freq_plan(spk) -> (f0, fm_rate, fm_depth)`` overrides the default
+    per-speaker frequency schedule (callers with many speakers need denser
+    spacing — e.g. the 64-speaker soak corpus in ``tools/e2e_soak.py``)."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     paths, labels = [], []
     t = np.arange(int(seconds * sr)) / sr
     for spk in range(n_speakers):
-        f0 = 150 + 110 * spk          # carrier
-        fm_rate = 2.0 + 1.5 * spk     # sweeps per second
-        fm_depth = 60.0 + 25.0 * spk  # Hz of sweep
+        if freq_plan is not None:
+            f0, fm_rate, fm_depth = freq_plan(spk)
+        else:
+            f0 = 150 + 110 * spk          # carrier
+            fm_rate = 2.0 + 1.5 * spk     # sweeps per second
+            fm_depth = 60.0 + 25.0 * spk  # Hz of sweep
         for i in range(per_speaker):
             phase = rng.uniform(0, 2 * np.pi)
             inst = f0 * t + (fm_depth / (2 * np.pi * fm_rate)) * np.sin(
@@ -53,7 +61,7 @@ def make_wavs(
                 + 0.15 * np.sin(2 * np.pi * 2.0 * inst + 0.3)
                 + 0.03 * rng.standard_normal(len(t))
             )
-            p = os.path.join(root, f"spk{spk}_utt{i}.wav")
+            p = os.path.join(root, name_fmt.format(spk=spk, utt=i))
             write_wav(p, y, sr)
             paths.append(p)
             labels.append(spk)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -113,8 +114,15 @@ def main() -> int:
         print("training failed", file=sys.stderr)
         return rc
 
-    # best-EER checkpoint if present, else the last periodic one
-    ckpts = sorted(f for f in os.listdir(out_dir) if f.endswith(".npz"))
+    # best-EER checkpoint if present, else the last periodic one; order by
+    # the numeric step suffix (lexicographic picks _75 over _250)
+    def step_of(name: str) -> int:
+        m = re.search(r"_(\d+)\.npz$", name)
+        return int(m.group(1)) if m else -1
+
+    ckpts = sorted(
+        (f for f in os.listdir(out_dir) if f.endswith(".npz")), key=step_of
+    )
     best = [f for f in ckpts if "best" in f]
     ckpt = os.path.join(out_dir, (best or ckpts)[-1])
     cfg_json = [f for f in os.listdir(out_dir) if f.endswith("_config.json")][0]

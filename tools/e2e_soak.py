@@ -36,31 +36,21 @@ STEP_CEILING_AUDIO_S = 4150.0  # bench.py jitted-step ceiling, r1/r2 measured
 
 
 def make_corpus(root: str, n_speakers=64, per_speaker=20, seconds=4.0, sr=16000):
-    """FM-sweep speakers (CMN-surviving, see examples/example_corpus.py) dense
-    enough for 64 classes; seeded, reused across runs."""
-    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+    """FM-sweep speakers (CMN-surviving — rationale in examples/
+    example_corpus.py, whose generator this reuses) with a denser frequency
+    schedule so 64 classes stay separable; seeded, reused across runs."""
+    from examples.example_corpus import make_wavs
 
     stamp = os.path.join(root, ".corpus_ok")
     if os.path.exists(stamp):
         return
-    os.makedirs(root, exist_ok=True)
-    rng = np.random.default_rng(0)
-    t = np.arange(int(seconds * sr)) / sr
-    for spk in range(n_speakers):
-        f0 = 120.0 + 3.5 * spk
-        fm_rate = 1.5 + 0.11 * spk
-        fm_depth = 40.0 + 1.6 * spk
-        for i in range(per_speaker):
-            phase = rng.uniform(0, 2 * np.pi)
-            inst = f0 * t + (fm_depth / (2 * np.pi * fm_rate)) * np.sin(
-                2 * np.pi * fm_rate * t + phase
-            )
-            y = (
-                0.3 * np.sin(2 * np.pi * inst)
-                + 0.15 * np.sin(2 * np.pi * 2.0 * inst + 0.3)
-                + 0.03 * rng.standard_normal(len(t))
-            )
-            write_wav(os.path.join(root, f"spk{spk:03d}_utt{i:03d}.wav"), y, sr)
+    make_wavs(
+        root, n_speakers=n_speakers, per_speaker=per_speaker, seconds=seconds,
+        sr=sr,
+        freq_plan=lambda spk: (120.0 + 3.5 * spk, 1.5 + 0.11 * spk,
+                               40.0 + 1.6 * spk),
+        name_fmt="spk{spk:03d}_utt{utt:03d}.wav",
+    )
     with open(stamp, "w") as f:
         f.write("ok")
 
@@ -179,7 +169,11 @@ def main() -> int:
         out_dir = base_out if attempt == 0 else f"{base_out}_retry{attempt}"
         cli[cli.index("--out_dir") + 1] = out_dir
         t0 = time.time()
-        proc = subprocess.run(cli, cwd=REPO, timeout=args.timeout_s)
+        try:
+            proc = subprocess.run(cli, cwd=REPO, timeout=args.timeout_s)
+        except subprocess.TimeoutExpired:
+            # treat like a watchdog kill: retry in a fresh process
+            proc = subprocess.CompletedProcess(cli, returncode=17)
         wall = time.time() - t0
         if proc.returncode == 0:
             break

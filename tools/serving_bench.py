@@ -72,11 +72,10 @@ def main() -> int:
     }
 
     try:
-        for t in buckets:  # compile every bucket before timing
-            batcher.embed(
-                np.asarray(feats[min(lengths, key=lambda l: abs(l - t))][: t - 1]),
-                timeout=600,
-            )
+        # compile every bucket before timing; warmup() also resets the
+        # request/forward counters so warm-up traffic doesn't skew the
+        # reported batching ratio
+        batcher.warmup(lengths)
 
         stop_at = time.perf_counter() + args.seconds
         lat, audio, lock = [], [0.0], threading.Lock()
