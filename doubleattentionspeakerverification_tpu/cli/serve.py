@@ -29,6 +29,9 @@ def main(argv=None) -> int:
                              "length bucket at this fixed batch size)")
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="how long the batcher waits for co-riders")
+    parser.add_argument("--pipeline", type=int, default=2,
+                        help="embedding forwards allowed in flight at once "
+                             "(overlaps result fetches; 1 = serial)")
     parser.add_argument("--embed_timeout_s", type=float, default=600.0,
                         help="per-request wait bound; the first request per "
                              "length bucket sits out an XLA compile")
@@ -55,7 +58,8 @@ def main(argv=None) -> int:
                          params.max_batch, params.max_wait_ms,
                          embed_timeout_s=params.embed_timeout_s,
                          enrollment_db=params.enrollment_db,
-                         verify_threshold=params.verify_threshold)
+                         verify_threshold=params.verify_threshold,
+                         pipeline=params.pipeline)
     if params.warmup:
         lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
         print(f"warming up buckets for frame lengths {lengths} ...")

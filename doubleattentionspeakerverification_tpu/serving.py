@@ -76,6 +76,7 @@ class MicroBatcher:
         max_wait_ms: float = 5.0,
         buckets: Sequence[int] = SERVE_BUCKETS,
         embed_timeout_s: float = 600.0,
+        pipeline: int = 2,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -86,6 +87,23 @@ class MicroBatcher:
         self.embed_timeout_s = embed_timeout_s
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stats = {"requests": 0, "forwards": 0, "batched": 0}
+        self._stats_lock = threading.Lock()
+        # `pipeline` forwards may be in flight at once: the collector keeps
+        # assembling the next batch while earlier forwards wait out their
+        # result fetch (jit dispatch is thread-safe; each forward's host
+        # read carries a large constant RPC latency on relayed backends, and
+        # overlapping fetches is what hides it). pipeline=1 restores the
+        # fully serial worker.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, pipeline), thread_name_prefix="mb-flush"
+        )
+        # one permit per in-flight forward: the collector keeps ACCUMULATING
+        # requests while no slot is free (that backpressure is what grows
+        # batches — submitting unconditionally would drain the queue into
+        # singleton forwards and destroy the batching ratio)
+        self._sem = threading.Semaphore(max(1, pipeline))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -103,9 +121,11 @@ class MicroBatcher:
     def close(self) -> None:
         self._q.put(None)
         self._worker.join(timeout=5)
+        self._pool.shutdown(wait=True)  # drain in-flight forwards
 
     def stats(self) -> dict:
-        return dict(self._stats)
+        with self._stats_lock:
+            return dict(self._stats)
 
     def warmup(self, frame_lengths: Sequence[int]) -> None:
         """Pre-compile the forward for the buckets covering these lengths,
@@ -114,15 +134,18 @@ class MicroBatcher:
             feat_dim = self.model.cfg.model.feature_size
             self.embed(np.zeros((t, feat_dim), np.float32))
         # warmup traffic shouldn't pollute the /health counters
-        self._stats.update(requests=0, forwards=0, batched=0)
+        with self._stats_lock:
+            self._stats.update(requests=0, forwards=0, batched=0)
 
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
-        while True:
+        shutdown = False
+        while not shutdown:
             first = self._q.get()
             if first is None:
                 return
             batch = [first]
+            # phase 1: the batching window (max_wait_ms)
             deadline = time.monotonic() + self.max_wait_s
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
@@ -133,14 +156,35 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._flush(batch)
-                    return
+                    shutdown = True
+                    break
                 batch.append(nxt)
+            # phase 2: wait for a pipeline slot, topping the batch up
+            # meanwhile — under load this extends the batching window to
+            # exactly the in-flight forwards' duration (the serial worker's
+            # implicit behavior), instead of queueing singleton forwards
+            while not self._sem.acquire(timeout=0.002):
+                while not shutdown and len(batch) < self.max_batch:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        shutdown = True
+                    else:
+                        batch.append(nxt)
+            self._pool.submit(self._flush_release, batch)
+
+    def _flush_release(self, batch) -> None:
+        try:
             self._flush(batch)
+        finally:
+            self._sem.release()
 
     def _flush(self, batch) -> None:
-        self._stats["requests"] += len(batch)
-        self._stats["batched"] += len(batch) > 1
+        with self._stats_lock:
+            self._stats["requests"] += len(batch)
+            self._stats["batched"] += len(batch) > 1
         by_bucket = {}
         for p in batch:
             by_bucket.setdefault(bucket_for(p.feats.shape[0], self.buckets), []).append(p)
@@ -155,7 +199,8 @@ class MicroBatcher:
                         x[j, : p.feats.shape[0]] = p.feats
                         lengths[j] = p.feats.shape[0]
                     emb = self.model.embed_features(x, lengths)
-                    self._stats["forwards"] += 1
+                    with self._stats_lock:
+                        self._stats["forwards"] += 1
                     for j, p in enumerate(chunk):
                         p.result = np.asarray(emb[j])
                 except BaseException as e:  # deliver instead of killing the worker
@@ -265,10 +310,11 @@ def make_server(
     embed_timeout_s: float = 600.0,
     enrollment_db: Optional[str] = None,
     verify_threshold: float = 0.5,
+    pipeline: int = 2,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                           embed_timeout_s=embed_timeout_s)
+                           embed_timeout_s=embed_timeout_s, pipeline=pipeline)
     db = EnrollmentDB(enrollment_db)
     t0 = time.time()
 
