@@ -226,6 +226,30 @@ class DataConfig:
     # is reusable as a --data_source features directory. Empty = off.
     train_feature_cache_dir: str = ""
 
+    def source_mode(self) -> str:
+        """The concrete training source path these flags select — decided in
+        ONE place so the loader (Trainer._load_data) and the kernel resolver
+        (utils/kernel_auto.py:resolve_fast_kernels) can never diverge on what
+        modality the jitted step sees.
+
+        'features'     precomputed pickle features
+        'wav_cache'    wav + compute-once host feature cache (step sees features)
+        'wav_host_dsp' wav + per-window host DSP (step sees features)
+        'wav_pcm'      wav PCM shipped to the device (step runs the DSP)
+        """
+        if self.source != "wav":
+            return "features"
+        if self.train_feature_cache_mb > 0 or self.train_feature_cache_dir:
+            return "wav_cache"
+        if self.host_dsp:
+            return "wav_host_dsp"
+        return "wav_pcm"
+
+    def step_sees_waves(self) -> bool:
+        """True iff training batches carry raw PCM (the jitted step runs the
+        on-device DSP front-end)."""
+        return self.source_mode() == "wav_pcm"
+
 
 @dataclass(frozen=True)
 class MeshConfig:

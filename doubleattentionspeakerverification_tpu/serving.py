@@ -173,7 +173,13 @@ class MicroBatcher:
                         shutdown = True
                     else:
                         batch.append(nxt)
-            self._pool.submit(self._flush_release, batch)
+            try:
+                self._pool.submit(self._flush_release, batch)
+            except RuntimeError:
+                # close() may shut the pool down while we were topping up the
+                # final batch (the 5 s worker join can expire mid-compile);
+                # flush inline so no client blocks until embed_timeout_s
+                self._flush_release(batch)
 
     def _flush_release(self, batch) -> None:
         try:

@@ -117,9 +117,10 @@ class Trainer:
         cfg = self.cfg
         manifest = load_train_manifest(cfg.data.train_labels_path)
         window_frames = int(cfg.train.window_size * 100)
-        if cfg.data.source == "wav" and (
-            cfg.data.train_feature_cache_mb > 0 or cfg.data.train_feature_cache_dir
-        ):
+        # one source-mode decision, shared with the kernel resolver
+        # (utils/kernel_auto.py) so the step input modality can't diverge
+        mode = cfg.data.source_mode()
+        if mode == "wav_cache":
             # compute-once full-utterance features (host DSP on first touch),
             # re-windowed per epoch — steady state == feature-mode cost
             from ..data.feature_cache import CachedDspWavSource
@@ -131,7 +132,7 @@ class Trainer:
                 cache_dir=cfg.data.train_feature_cache_dir,
             )
             is_wave = False
-        elif cfg.data.source == "wav" and cfg.data.host_dsp:
+        elif mode == "wav_host_dsp":
             from ..data.dataset import HostDspWavSource
 
             source = HostDspWavSource(
@@ -139,7 +140,7 @@ class Trainer:
                 cfg.train.normalization,
             )
             is_wave = False  # the step sees a feature batch
-        elif cfg.data.source == "wav":
+        elif mode == "wav_pcm":
             source = WavSource(cfg.data.train_data_dir, cfg.features, window_frames,
                                native_reader=self._native_reader())
             is_wave = True
@@ -558,18 +559,26 @@ class Trainer:
         transfer) and log ms/step, two-point latency-corrected (bench.py's
         method — on relayed backends only a host read synchronizes, and each
         read carries a large constant latency that differencing cancels)."""
+        import jax.numpy as jnp
+
         if self.mesh is not None:
             dev_batch = jax.device_put(
                 batch, {k: self._batch_shardings[k] for k in batch}
             )
         else:
             dev_batch = jax.device_put(batch)
+        # bench on a throwaway copy: train_step donates arg 0, so chaining on
+        # self.state would train the model n+k1+1 extra steps on one repeated
+        # batch AFTER the final checkpoint, desyncing trainer.state/step from
+        # every saved checkpoint and the logged metrics
+        bench_state = jax.tree.map(jnp.copy, self.state)
 
         def chain(k: int) -> float:
+            nonlocal bench_state
             t0 = time.perf_counter()
             m = None
             for _ in range(k):
-                self.state, m = self.train_step(self.state, dev_batch, rng)
+                bench_state, m = self.train_step(bench_state, dev_batch, rng)
             float(m["loss"])  # host fetch -> full sync
             if watchdog is not None:
                 watchdog.beat(-2)  # bench progress counts as liveness

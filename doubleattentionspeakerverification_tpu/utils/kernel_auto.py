@@ -67,8 +67,13 @@ def _dsp_parity_ok(feat_cfg: FeatureConfig) -> bool:
         fast = np.asarray(
             jax.jit(lambda w: log_mel_spectrogram_pallas(w, feat_cfg))(waves)
         )
+        # tolerance matches the kernel's measured accuracy class (~9e-6 max
+        # abs diff vs the XLA path, docs/PERFORMANCE.md) with ~10x margin: a
+        # kernel regression of even one accuracy class must NOT auto-enable.
+        # rtol stays tiny — log-mel values are O(10), so a loose rtol would
+        # quietly dominate the atol and re-widen the gate
         ok = ref.shape == fast.shape and bool(
-            np.allclose(ref, fast, atol=1e-3, rtol=1e-4)
+            np.allclose(ref, fast, atol=1e-4, rtol=1e-5)
         )
         if not ok:
             log.warning(
@@ -155,14 +160,11 @@ def resolve_fast_kernels(cfg: ExperimentConfig) -> ExperimentConfig:
     """ExperimentConfig with concrete kernel flags (checkpoint configs keep
     the tri-state; call this where jitted programs are built)."""
     # the train step runs the on-device DSP only when batches carry raw
-    # waves: wav source without host DSP and without the host feature cache
-    need_dsp = (
-        cfg.data.source == "wav"
-        and not cfg.data.host_dsp
-        and cfg.data.train_feature_cache_mb <= 0
-        and not cfg.data.train_feature_cache_dir
+    # PCM; the source-mode decision lives in DataConfig.source_mode() (the
+    # same resolver Trainer._load_data branches on)
+    resolved = resolve_model_kernels(
+        cfg.model, cfg.features, need_dsp=cfg.data.step_sees_waves()
     )
-    resolved = resolve_model_kernels(cfg.model, cfg.features, need_dsp=need_dsp)
     if resolved is cfg.model:
         return cfg
     return cfg.replace(model=resolved)

@@ -77,6 +77,65 @@ def test_gate_failure_falls_back(monkeypatch):
     assert kernel_auto.decisions()["use_pallas_pooling"] == "auto->False"
 
 
+def test_dsp_gate_rejects_accuracy_class_regression(monkeypatch):
+    """The DSP gate tolerance must sit at the kernel's accuracy class
+    (~9e-6 measured): a kernel whose error grows ~50x must NOT auto-enable,
+    even though it would still be 'roughly right' (5e-4)."""
+    monkeypatch.setattr(kernel_auto, "_on_tpu", lambda: True)
+    from doubleattentionspeakerverification_tpu.ops import logmel_pallas
+
+    real = logmel_pallas.log_mel_spectrogram_pallas
+
+    def degraded(waves, cfg):
+        # ~50x the kernel's real error (9e-6) — would have slipped through
+        # the old 1e-3 atol / 1e-4-rtol-on-O(10)-values gate
+        return real(waves, cfg) + 5e-4
+
+    monkeypatch.setattr(logmel_pallas, "log_mel_spectrogram_pallas", degraded)
+    from jax.experimental.pallas import tpu as pltpu
+
+    mcfg = ModelConfig(kernel_size=16, heads_number=4, use_pallas_pooling=False)
+    with pltpu.force_tpu_interpret_mode():
+        r = kernel_auto.resolve_model_kernels(mcfg, FeatureConfig())
+    assert r.use_pallas_dsp is False
+    assert kernel_auto.decisions()["use_pallas_dsp"] == "auto->False"
+
+
+def test_pooling_gate_passes_textbook_dk_scaling(monkeypatch):
+    """The gate must validate the Pallas pooling under BOTH d_k conventions
+    (the kernel takes dk_is_heads through; a bug in the non-default branch
+    must be caught by the gate, not by training)."""
+    monkeypatch.setattr(kernel_auto, "_on_tpu", lambda: True)
+    from jax.experimental.pallas import tpu as pltpu
+
+    mcfg = ModelConfig(kernel_size=16, heads_number=4, mha_dk_is_heads=False,
+                       use_pallas_dsp=False)
+    with pltpu.force_tpu_interpret_mode():
+        r = kernel_auto.resolve_model_kernels(mcfg, FeatureConfig())
+    assert r.use_pallas_pooling is True
+    # and the gate cache keys on the toggle: a second resolve with the
+    # default convention runs its own gate rather than reusing this verdict
+    assert ("pool", 4, False) in kernel_auto._GATE_CACHE
+
+
+def test_need_dsp_follows_source_mode():
+    """resolve_fast_kernels' step-modality predicate is DataConfig.
+    step_sees_waves() — the same resolver Trainer._load_data branches on."""
+    from doubleattentionspeakerverification_tpu.config import DataConfig
+
+    cases = [
+        (DataConfig(source="features"), "features", False),
+        (DataConfig(source="wav"), "wav_pcm", True),
+        (DataConfig(source="wav", host_dsp=True), "wav_host_dsp", False),
+        (DataConfig(source="wav", train_feature_cache_mb=64), "wav_cache", False),
+        (DataConfig(source="wav", host_dsp=True, train_feature_cache_dir="/tmp/x"),
+         "wav_cache", False),
+    ]
+    for dcfg, mode, sees_waves in cases:
+        assert dcfg.source_mode() == mode
+        assert dcfg.step_sees_waves() is sees_waves
+
+
 def test_tristate_survives_config_roundtrip():
     cfg = ExperimentConfig(model=ModelConfig(kernel_size=16, heads_number=4))
     rt = ExperimentConfig.from_json(cfg.to_json())

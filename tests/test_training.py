@@ -167,6 +167,35 @@ def test_trainer_end_to_end(tmp_path):
     assert tr.best_ckpt_path and os.path.exists(tr.best_ckpt_path)
 
 
+def test_post_step_bench_leaves_state_untouched(tmp_path):
+    """--post_step_bench must run on a throwaway copy: after train() the
+    trainer's state/step must match the training schedule (and any saved
+    checkpoint), not include the bench's extra optimizer steps."""
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, max_epochs=2, post_step_bench=8)
+    tr = Trainer(cfg)
+    expected_steps = tr.loader.steps_per_epoch() * 2
+    pre_bench = {}
+
+    orig = Trainer._post_step_bench
+
+    def spying(self, *a, **kw):
+        pre_bench["params"] = jax.tree.map(np.asarray, self.state.params)
+        pre_bench["step"] = int(self.state.step)
+        orig(self, *a, **kw)
+
+    Trainer._post_step_bench = spying
+    try:
+        tr.train()
+    finally:
+        Trainer._post_step_bench = orig
+    assert pre_bench["step"] == expected_steps
+    assert int(tr.state.step) == expected_steps  # bench steps didn't leak
+    for a, b in zip(jax.tree.leaves(pre_bench["params"]),
+                    jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_trainer_profile_window(tmp_path):
     """--profile_dir captures a device trace of the configured step window."""
     _make_dataset(tmp_path)

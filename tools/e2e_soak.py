@@ -34,6 +34,13 @@ import numpy as np
 
 STEP_CEILING_AUDIO_S = 4150.0  # bench.py jitted-step ceiling, r1/r2 measured
 
+# One source of truth for the soak's training shape: used both to build the
+# train CLI argv and in the throughput/ceiling formulas below — editing one
+# without the other would silently skew pct_of_session_ceiling.
+BATCH = 64
+ACCUM = 2
+WINDOW_S = 3.5
+
 
 def make_corpus(root: str, n_speakers=64, per_speaker=20, seconds=4.0, sr=16000):
     """FM-sweep speakers (CMN-surviving — rationale in examples/
@@ -125,7 +132,7 @@ def main() -> int:
         extract_pickles(wav_dir, args.workdir)
 
     # e.g. 1280 files / (64 batch x 2 accum) = 10 optimizer steps per epoch
-    steps_per_epoch = n_files // 128
+    steps_per_epoch = n_files // (BATCH * ACCUM)
     epochs = -(-args.steps // steps_per_epoch)
     out_dir = os.path.join(args.workdir, f"out_{args.mode}_{int(time.time())}")
 
@@ -138,8 +145,8 @@ def main() -> int:
         "--valid_impostors", os.path.join(args.workdir, "impostors.ndx"),
         "--out_dir", out_dir, "--model_name", "soak",
         # flagship model (defaults: VGG4L kernel 1024, 32 heads, emb 400)
-        "--window_size", "3.5", "--batch_size", "64",
-        "--gradientAccumulation", "2",
+        "--window_size", str(WINDOW_S), "--batch_size", str(BATCH),
+        "--gradientAccumulation", str(ACCUM),
         "--max_epochs", str(epochs),
         "--validate_every", str(args.validate_every),
         "--print_every", str(args.print_every),
@@ -194,7 +201,7 @@ def main() -> int:
     bench = [e for e in events if e["event"] == "step_bench"]
     session_step_ms = bench[-1]["ms_per_step"] if bench else None
     session_ceiling = (
-        64 * 2 * 3.5 / (session_step_ms / 1e3) if session_step_ms else None
+        BATCH * ACCUM * WINDOW_S / (session_step_ms / 1e3) if session_step_ms else None
     )
     tput = np.array([e["audio_s_per_s"] for e in train])
     warm = tput[2:] if len(tput) > 4 else tput  # drop compile windows
@@ -203,7 +210,7 @@ def main() -> int:
     # window absorbs the compiles, so count only the audio-seconds of the
     # steps after it (validations + checkpoints stay included).
     steady_steps = total_steps - (int(train[0]["step"]) if train else 0)
-    total_audio_s = steady_steps * 64 * 2 * 3.5
+    total_audio_s = steady_steps * BATCH * ACCUM * WINDOW_S
     span = events[-1]["time"] - train[0]["time"] if train else wall
     result = {
         "metric": "e2e_train_throughput",
