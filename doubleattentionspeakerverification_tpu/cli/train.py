@@ -216,6 +216,19 @@ def make_parser() -> argparse.ArgumentParser:
                         help="after training, chain N jitted steps on a "
                              "device-resident batch and log this session's "
                              "isolated-step ms (step_bench event)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host training: call jax.distributed."
+                             "initialize() before building the trainer. "
+                             "Coordinator/topology come from the flags below "
+                             "or the standard env vars (JAX_COORDINATOR_"
+                             "ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; "
+                             "auto-populated on Cloud TPU VMs and slurm). "
+                             "Implied when JAX_COORDINATOR_ADDRESS is set. "
+                             "Requires --checkpoint_backend orbax")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--sync_validation", action="store_true",
                         help="run EER validation serially (reference behavior); "
                         "default overlaps it with training in a background "
@@ -262,17 +275,41 @@ def main(argv=None) -> int:
         pass
 
     params = make_parser().parse_args(argv)
+
+    # Multi-host: connect the processes BEFORE any device use (the trainer's
+    # first device call must already see the global mesh). initialize() is a
+    # no-op single-host, so calling it unconditionally when asked is safe.
+    host_id, num_hosts = 0, 1
+    if params.distributed or params.coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from ..parallel.distributed import initialize
+
+        info = initialize(
+            coordinator_address=params.coordinator_address,
+            num_processes=params.num_processes,
+            process_id=params.process_id,
+            force=params.distributed,
+        )
+        host_id, num_hosts = info.host_id, info.num_hosts
+
     cfg = build_config(params)
     os.makedirs(cfg.out_dir, exist_ok=True)
     name = cfg.derived_model_name()
-    with open(os.path.join(cfg.out_dir, f"{name}_config.json"), "w") as f:
-        f.write(cfg.to_json())
+    if host_id == 0:
+        with open(os.path.join(cfg.out_dir, f"{name}_config.json"), "w") as f:
+            f.write(cfg.to_json())
 
-    logger = MetricLogger(
-        jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"),
-        tensorboard_dir=params.tensorboard_dir or None,
-    )
-    trainer = Trainer(cfg, logger=logger)
+    # one JSONL/console stream per run: non-zero hosts train the same global
+    # program and would duplicate every event
+    if host_id == 0:
+        logger = MetricLogger(
+            jsonl_path=os.path.join(cfg.out_dir, f"{name}_metrics.jsonl"),
+            tensorboard_dir=params.tensorboard_dir or None,
+        )
+    else:
+        logger = MetricLogger(stream=open(os.devnull, "w"))
+    trainer = Trainer(cfg, logger=logger, host_id=host_id, num_hosts=num_hosts)
     if params.resume_step is not None:
         if not trainer.resume(step=params.resume_step):
             print(f"no checkpoint at step {params.resume_step} in {cfg.out_dir}")

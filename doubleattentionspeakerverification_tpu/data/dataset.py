@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import DataConfig, FeatureConfig, TrainConfig
 from ..dsp.features import num_samples_for_frames
-from .manifest import Utterance, shard_for_host
+from .manifest import Utterance
 from .wav import read_wav
 
 
@@ -50,6 +50,20 @@ def sample_window(features: np.ndarray, window: int, rng: np.random.Generator) -
     hi = max(0, t - window - 1)
     start = int(rng.integers(0, hi + 1))
     return features[start : start + min(t, window)]
+
+
+def as_row_rngs(rngs, n: int) -> List[np.random.Generator]:
+    """Normalize a ``load_batch`` rng argument to one Generator per row.
+
+    TrainLoader passes per-row Generators (streams keyed on the GLOBAL row
+    index, so multi-host loaders agree); a single Generator is also accepted
+    (library/tests convenience) and deterministically split."""
+    if isinstance(rngs, np.random.Generator):
+        return list(rngs.spawn(n))
+    rngs = list(rngs)
+    if len(rngs) != n:
+        raise ValueError(f"expected {n} per-row rngs, got {len(rngs)}")
+    return rngs
 
 
 class FeaturePickleSource:
@@ -94,9 +108,12 @@ class WavSource:
         win = sample_window(wave, self.window_samples, rng).astype(np.float32)
         return win, win.shape[0]
 
-    def load_batch(self, utts, rng: np.random.Generator):
+    def load_batch(self, utts, rngs: List[np.random.Generator]):
         """Whole-batch parallel decode + window via the native loader
-        (falls back to per-file python reads). Returns (windows, lengths)."""
+        (falls back to per-file python reads). ``rngs`` carries one Generator
+        per row (host/worker-count-invariant streams, see TrainLoader).
+        Returns (windows, lengths)."""
+        rngs = as_row_rngs(rngs, len(utts))
         try:
             from ..utils.native import native_available, native_read_windows
         except Exception:
@@ -105,17 +122,19 @@ class WavSource:
             wins = np.zeros((len(utts), self.window_samples), np.float32)
             lengths = np.zeros((len(utts),), np.int64)
             for i, u in enumerate(utts):
-                w, n = self.load(u, rng)
+                w, n = self.load(u, rngs[i])
                 wins[i, :n] = w
                 lengths[i] = n
             return wins, lengths
-        seeds = rng.integers(0, 2**63 - 1, size=len(utts), dtype=np.uint64)
+        seeds = np.asarray(
+            [r.integers(0, 2**63 - 1, dtype=np.uint64) for r in rngs], np.uint64
+        )
         wins, lengths = native_read_windows(
             [self._path(u) for u in utts], self.window_samples, seeds
         )
         bad = np.where(lengths < 0)[0]
         for i in bad:  # fall back per-file so one corrupt wav raises cleanly
-            w, n = self.load(utts[i], rng)
+            w, n = self.load(utts[i], rngs[i])
             wins[i, :n] = w
             lengths[i] = n
         return wins, lengths
@@ -161,26 +180,29 @@ class HostDspWavSource(WavSource):
         feats = self._logmel_normalized(win)
         return feats, feats.shape[0]
 
-    def load_batch(self, utts, rng: np.random.Generator):
+    def load_batch(self, utts, rngs: List[np.random.Generator]):
         """Whole-batch fused native path; per-file python fallback.
         Returns (features (n, window_frames, n_mels), frame_lengths)."""
         n = len(utts)
+        rngs = as_row_rngs(rngs, n)
         if self._native is None:
             out = np.zeros((n, self.window_frames, self.feat_cfg.n_mels), np.float32)
             lengths = np.zeros((n,), np.int64)
             for i, u in enumerate(utts):
-                f, t = self.load(u, rng)
+                f, t = self.load(u, rngs[i])
                 out[i, :t] = f
                 lengths[i] = t
             return out, lengths
-        seeds = rng.integers(0, 2**63 - 1, size=n, dtype=np.uint64)
+        seeds = np.asarray(
+            [r.integers(0, 2**63 - 1, dtype=np.uint64) for r in rngs], np.uint64
+        )
         feats, lengths = self._native.wav_windows(
             [self._path(u) for u in utts], self.window_samples, seeds,
             self.normalization,
         )
         bad = np.where(lengths < 0)[0]
         for i in bad:  # fall back per-file so one corrupt wav raises cleanly
-            f, t = self.load(utts[i], rng)
+            f, t = self.load(utts[i], rngs[i])
             feats[i, :t] = f
             lengths[i] = t
         return feats, lengths
@@ -194,6 +216,15 @@ class TrainLoader:
     accumulation factor; the tail that doesn't fill a full group is dropped
     (static shapes; the reference's leftover microbatches never trigger an
     optimizer step either, ``train.py:225-226``).
+
+    Multi-host: the GLOBAL batch stream (shuffle order, window draws,
+    slicing cuts) is a pure function of (seed, epoch, step, global row) —
+    every host derives the identical stream and assembles only its
+    ``local_rows`` slice of each batch's row axis (matching the rows its
+    devices own under the ``P(None, 'data')`` batch sharding,
+    ``parallel/mesh.py:host_batch_rows``). A 2-host run therefore consumes
+    bit-identical global batches to a 1-host run of the same seed, while
+    each host touches only ``batch/num_hosts`` files per step.
     """
 
     def __init__(
@@ -207,8 +238,9 @@ class TrainLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         seed: Optional[int] = None,
+        local_rows: Optional[tuple] = None,
     ):
-        self.manifest = shard_for_host(list(manifest), host_id, num_hosts)
+        self.manifest = list(manifest)
         self.source = source
         self.cfg = train_cfg
         self.data_cfg = data_cfg
@@ -217,14 +249,37 @@ class TrainLoader:
         self.seed = train_cfg.seed if seed is None else seed
         self.window_frames = int(train_cfg.window_size * 100)
         self.group = train_cfg.gradient_accumulation
-        self.batch = train_cfg.batch_size
+        self.batch = train_cfg.batch_size  # GLOBAL batch rows per microbatch
+        if local_rows is None:
+            num_hosts = max(1, num_hosts)
+            if self.batch % num_hosts:
+                raise ValueError(
+                    f"batch_size {self.batch} not divisible by {num_hosts} hosts"
+                )
+            per = self.batch // num_hosts
+            local_rows = (host_id * per, (host_id + 1) * per)
+        self.local_rows = (int(local_rows[0]), int(local_rows[1]))
+
+    @property
+    def rows_per_host(self) -> int:
+        return self.local_rows[1] - self.local_rows[0]
 
     def steps_per_epoch(self) -> int:
         return len(self.manifest) // (self.group * self.batch)
 
     # ------------------------------------------------------------------ core
-    def _assemble(self, utts: List[Utterance], rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        g, b = self.group, self.batch
+    def _row_rng(self, epoch_idx: int, step: int, global_row: int) -> np.random.Generator:
+        """Every random draw for one batch row comes from this stream — host-
+        count- and worker-count-invariant by construction."""
+        return np.random.default_rng((self.seed, epoch_idx, step, global_row))
+
+    def _assemble(
+        self,
+        utts: List[Utterance],
+        rngs: List[np.random.Generator],
+        slice_rng: np.random.Generator,
+    ) -> Dict[str, np.ndarray]:
+        g, b = self.group, self.rows_per_host
         if self.is_wave:
             t_dim = self.source.window_samples
             inputs = np.zeros((g * b, t_dim), np.float32)
@@ -234,12 +289,12 @@ class TrainLoader:
         lengths = np.zeros((g * b,), np.int32)
         labels = np.asarray([u.label for u in utts], np.int32)
         if hasattr(self.source, "load_batch"):
-            wins, lens = self.source.load_batch(utts, rng)
+            wins, lens = self.source.load_batch(utts, rngs)
             inputs[:, :] = wins
             lengths[:] = lens
         else:
             for i, utt in enumerate(utts):
-                win, n = self.source.load(utt, rng)
+                win, n = self.source.load(utt, rngs[i])
                 inputs[i, :n] = win
                 lengths[i] = n
 
@@ -255,8 +310,9 @@ class TrainLoader:
             # [200, window) frames (train.py:205-207). Snap up to a multiple
             # of 50 so only a handful of shapes ever compile. In device-DSP
             # wav mode the same cut is applied in the sample domain (exact
-            # frame-count equivalence via num_samples_for_frames).
-            cut = int(rng.integers(200, self.window_frames))
+            # frame-count equivalence via num_samples_for_frames). Drawn from
+            # the per-step slice stream, so every host cuts identically.
+            cut = int(slice_rng.integers(200, self.window_frames))
             cut = min(self.window_frames, -(-cut // 50) * 50)
             if self.is_wave:
                 cut_samples = num_samples_for_frames(cut, self.source.feat_cfg)
@@ -287,8 +343,8 @@ class TrainLoader:
 
         ``DataConfig.num_workers`` (the reference DataLoader's knob,
         ``train.py:78``) sets how many threads assemble batches in parallel;
-        each step derives its own RNG from (seed, epoch, step), so the output
-        stream is identical for any worker count.
+        every draw derives from (seed, epoch, step, global row), so the
+        output stream is identical for any worker count and any host count.
         """
         shuffle_rng = np.random.default_rng((self.seed, epoch_idx, 0xD47A))
         order = shuffle_rng.permutation(len(self.manifest))
@@ -300,11 +356,19 @@ class TrainLoader:
         q: queue.Queue = queue.Queue(maxsize=max(1, self.data_cfg.prefetch))
         stop = threading.Event()
         workers = max(1, self.data_cfg.num_workers)
+        lo, hi = self.local_rows
 
         def make_step(s: int) -> Dict[str, np.ndarray]:
-            rng = np.random.default_rng((self.seed, epoch_idx, s))
             idx = order[s * per_step : (s + 1) * per_step]
-            return self._assemble([self.manifest[i] for i in idx], rng)
+            # this host's slice of each microbatch's global row axis
+            utts, rngs = [], []
+            for gi in range(self.group):
+                for bi in range(lo, hi):
+                    row = gi * self.batch + bi
+                    utts.append(self.manifest[idx[row]])
+                    rngs.append(self._row_rng(epoch_idx, s, row))
+            slice_rng = np.random.default_rng((self.seed, epoch_idx, s, 0x51C3))
+            return self._assemble(utts, rngs, slice_rng)
 
         def safe_put(item) -> bool:
             # never block forever on a consumer that went away: a producer

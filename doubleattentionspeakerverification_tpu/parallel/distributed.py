@@ -27,19 +27,29 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    force: bool = False,
 ) -> HostInfo:
     """Initialize multi-host JAX if configured; no-op for single host.
 
     Configuration comes from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, also
     populated automatically on Cloud TPU VMs / slurm via jax's cluster
-    detection).
+    detection). ``force=True`` calls ``jax.distributed.initialize`` even
+    when no explicit configuration is visible (pure auto-detection
+    environments, e.g. multi-host Cloud TPU pods).
     """
     import jax
 
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    want_multi = coordinator_address is not None or os.environ.get("SLURM_NTASKS")
-    if want_multi and jax.process_count() == 1:
+    want_multi = (
+        force or coordinator_address is not None or os.environ.get("SLURM_NTASKS")
+    )
+    # already-initialized check must NOT touch the backend: jax.process_count()
+    # initializes XLA, after which jax.distributed.initialize refuses to run
+    from jax._src import distributed as _dist
+
+    already = getattr(getattr(_dist, "global_state", None), "client", None) is not None
+    if want_multi and not already:
         kwargs = {}
         if coordinator_address:
             kwargs["coordinator_address"] = coordinator_address

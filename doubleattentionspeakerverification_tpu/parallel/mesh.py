@@ -70,3 +70,84 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+# --------------------------------------------------------------- multi-host
+def global_train_state(state, mesh: Mesh):
+    """Multi-host version of :func:`shard_train_state`: every process holds
+    an identical host-local copy of the state (same init seed); each provides
+    the shards its devices own via ``make_array_from_callback`` and the
+    result is one global jax.Array per leaf. Works single-process too
+    (``device_put`` is just faster there)."""
+    shardings = train_state_shardings(state, mesh)
+
+    def to_global(x, sh):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return jax.tree.map(to_global, state, shardings)
+
+
+def host_batch_rows(mesh: Mesh, global_batch: int):
+    """This process's contiguous row range [start, stop) of the global batch
+    axis under the standard batch sharding ``P(None, 'data')``.
+
+    Each host's loader assembles ONLY these rows
+    (``global_batch // data_axis_span`` of them when the data axis spans
+    processes; all of them when the batch is replicated across this host's
+    devices, e.g. a pure-'model' mesh)."""
+    import jax as _jax
+
+    sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    rows = set()
+    for d, idx in sh.devices_indices_map((1, global_batch)).items():
+        if d.process_index != _jax.process_index():
+            continue
+        sl = idx[1]
+        start = 0 if sl.start is None else sl.start
+        stop = global_batch if sl.stop is None else sl.stop
+        rows.update(range(start, stop))
+    ordered = sorted(rows)
+    if not ordered or ordered != list(range(ordered[0], ordered[-1] + 1)):
+        raise ValueError(
+            f"process {_jax.process_index()} owns non-contiguous batch rows "
+            f"{ordered} under mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}; "
+            "use a mesh whose 'data' axis aligns with process boundaries"
+        )
+    return ordered[0], ordered[-1] + 1
+
+
+def globalize_batch(batch, mesh: Mesh, global_batch: int):
+    """Assemble per-host batch row-slices into global arrays (multi-host).
+
+    ``batch`` values are (G, local_rows, ...) host arrays; the result's
+    values are global jax.Arrays of shape (G, global_batch, ...) sharded
+    P(None, 'data') — the exact input contract of the jitted train step."""
+    data_axis = mesh.axis_names[0]
+    out = {}
+    for k, v in batch.items():
+        sh = NamedSharding(mesh, P(None, data_axis))
+        global_shape = (v.shape[0], global_batch) + v.shape[2:]
+        out[k] = jax.make_array_from_process_local_data(sh, v, global_shape)
+    return out
+
+
+def host_local_tree(tree):
+    """Host-local numpy copies of a (possibly multi-host global) pytree.
+
+    Fully-replicated leaves are read from an addressable shard; sharded
+    leaves are all-gathered (collective — every process must call this at
+    the same point). Used to run host-local programs (EER validation) on
+    params that live on a global mesh."""
+    import jax as _jax
+
+    def fetch(x):
+        if isinstance(x, _jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(fetch, tree)

@@ -47,14 +47,24 @@ class Trainer:
         self,
         cfg: ExperimentConfig,
         logger: Optional[MetricLogger] = None,
-        host_id: int = 0,
-        num_hosts: int = 1,
+        host_id: Optional[int] = None,
+        num_hosts: Optional[int] = None,
     ):
         self.cfg = cfg
         self.log = logger or MetricLogger()
-        self.host_id = host_id
-        self.num_hosts = num_hosts
+        # default to the jax.distributed process topology: after
+        # parallel.distributed.initialize() a Trainer is multi-host-aware
+        # with no extra arguments (cli/train.py --distributed path)
+        self.host_id = jax.process_index() if host_id is None else host_id
+        self.num_hosts = jax.process_count() if num_hosts is None else num_hosts
         self.model_name = cfg.derived_model_name()
+        if self.num_hosts > 1 and cfg.train.checkpoint_backend != "orbax":
+            # npz gathers every leaf to one host — impossible once shards
+            # live on other processes' devices
+            raise ValueError(
+                "multi-host training requires checkpoint_backend='orbax' "
+                "(npz checkpoints host-gather; pass --checkpoint_backend orbax)"
+            )
 
         # Stall detection must cover CONSTRUCTION too: on relayed backends a
         # wedged RPC has been observed inside the very first device call
@@ -76,26 +86,50 @@ class Trainer:
 
         # Mesh placement: with >1 device the batch shards over 'data' and the
         # AM-Softmax W (+ its optimizer moments) over 'model'; the same jitted
-        # step runs either way (XLA GSPMD inserts the collectives).
+        # step runs either way (XLA GSPMD inserts the collectives). On
+        # multi-host (jax.distributed) the mesh spans every process's chips;
+        # state leaves become global arrays assembled from each host's
+        # identical seed-initialized copy.
         self.mesh = None
+        self._local_rows = None  # this host's batch-row slice (multi-host)
         n_dev = len(jax.devices())
         if n_dev > 1:
             data_size = n_dev // max(1, cfg.mesh.model_axis)
             if cfg.train.batch_size % max(1, data_size) == 0:
-                from ..parallel.mesh import batch_shardings, make_mesh, shard_train_state
+                from ..parallel.mesh import (
+                    batch_shardings,
+                    global_train_state,
+                    host_batch_rows,
+                    make_mesh,
+                    shard_train_state,
+                )
 
                 self.mesh = make_mesh(cfg.mesh)
-                self.state = shard_train_state(self.state, self.mesh)
+                if self.num_hosts > 1:
+                    self.state = global_train_state(self.state, self.mesh)
+                    self._local_rows = host_batch_rows(
+                        self.mesh, cfg.train.batch_size
+                    )
+                else:
+                    self.state = shard_train_state(self.state, self.mesh)
                 self._batch_shardings = batch_shardings(
                     {"inputs": None, "waves": None, "lengths": None, "labels": None},
                     self.mesh,
                 )
             else:
+                if self.num_hosts > 1:
+                    raise ValueError(
+                        f"batch_size {cfg.train.batch_size} not divisible by "
+                        f"the mesh data axis ({data_size}) — required for "
+                        "multi-host training"
+                    )
                 self.log.log(
                     "mesh_disabled",
                     reason=f"batch_size {cfg.train.batch_size} not divisible by "
                     f"data axis {data_size}; running single-device",
                 )
+        elif self.num_hosts > 1:
+            raise ValueError("multi-host run but only one global device visible")
 
         self._load_data()
 
@@ -153,6 +187,7 @@ class Trainer:
             manifest, source, cfg.train, cfg.data,
             feature_dim=cfg.model.feature_size, is_wave=is_wave,
             host_id=self.host_id, num_hosts=self.num_hosts,
+            local_rows=self._local_rows,
         )
 
     def _native_reader(self):
@@ -192,14 +227,26 @@ class Trainer:
         state = self.state if state is None else state
         t0 = time.time()
         loader = self._valid_feature_loader()
+        params, model_state, mesh = state.params, state.model_state, self.mesh
+        if self.num_hosts > 1:
+            # every host runs the identical host-LOCAL validation (same
+            # features, same params) and reaches the same EER bit-for-bit,
+            # so best/stopping decisions stay in lockstep with no cross-host
+            # coordination. Sharded leaves are all-gathered here — a
+            # collective, safe because validation is serial on multi-host
+            # (_async_validation_enabled) and runs at the same step everywhere.
+            from ..parallel.mesh import host_local_tree
+
+            params, model_state = host_local_tree((params, model_state))
+            mesh = None
         extractor = EmbeddingExtractor(
-            state.params,
-            state.model_state,
+            params,
+            model_state,
             cfg.model,
             loader,
             embed_fn=self._embed_jit,
             num_workers=max(1, cfg.data.num_workers),
-            mesh=self.mesh,
+            mesh=mesh,
         )
         clients = load_trials(cfg.data.valid_clients)
         impostors = load_trials(cfg.data.valid_impostors)
@@ -368,7 +415,9 @@ class Trainer:
             if path is None:
                 return False
             state, meta = load_checkpoint(path, self.state)
-        if self.mesh is not None:
+        if self.mesh is not None and self.num_hosts == 1:
+            # multi-host: orbax already restored every leaf into the global
+            # template's shardings; a device_put would be cross-process
             from ..parallel.mesh import shard_train_state
 
             state = shard_train_state(state, self.mesh)
@@ -457,7 +506,18 @@ class Trainer:
         metric_accum = jax.jit(
             lambda c, l, a: c + jnp.stack((l, a)).astype(jnp.float32)
         )
-        metric_zero = jnp.zeros((2,), jnp.float32)
+        if self.num_hosts > 1:
+            # the accumulator must be a GLOBAL (replicated) array: mixing a
+            # host-local array with the step's global metrics in one jit is
+            # invalid on multi-process meshes
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            metric_zero = jax.make_array_from_callback(
+                (2,), NamedSharding(self.mesh, P()),
+                lambda idx: np.zeros((2,), np.float32)[idx],
+            )
+        else:
+            metric_zero = jnp.zeros((2,), jnp.float32)
         metric_sum = metric_zero
         metric_n = 0
         step = int(self.state.step)
@@ -472,10 +532,25 @@ class Trainer:
         wait_s = dispatch_s = 0.0  # host-side accounting per print window
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
+            epoch_batches = self.loader.epoch(self.epoch)
+            if self.num_hosts > 1:
+                # assemble each host's row slice into global arrays; the
+                # transfer itself is process-local (no collective), so it is
+                # safe inside the prefetch thread too
+                from ..parallel.mesh import globalize_batch
+
+                gb = cfg.train.batch_size
+                epoch_batches = (
+                    globalize_batch(b, self.mesh, gb) for b in epoch_batches
+                )
             batches = device_prefetch(
-                self.loader.epoch(self.epoch),
+                epoch_batches,
                 depth=cfg.train.device_prefetch,
-                shardings=self._batch_shardings if self.mesh is not None else None,
+                shardings=(
+                    self._batch_shardings
+                    if self.mesh is not None and self.num_hosts == 1
+                    else None
+                ),
             )
             batches_it = iter(batches)
             while True:
@@ -503,7 +578,10 @@ class Trainer:
                 watchdog.beat(step)
 
                 if step % cfg.train.print_every == 0:
-                    vals = np.asarray(metric_sum)  # ONE host fetch per window
+                    if self.num_hosts > 1:  # replicated: read the local shard
+                        vals = np.asarray(metric_sum.addressable_data(0))
+                    else:
+                        vals = np.asarray(metric_sum)  # ONE host fetch per window
                     window_loss, window_acc = float(vals[0]), float(vals[1])
                     window_n = metric_n
                     metric_sum, metric_n = metric_zero, 0
@@ -561,7 +639,9 @@ class Trainer:
         read carries a large constant latency that differencing cancels)."""
         import jax.numpy as jnp
 
-        if self.mesh is not None:
+        if self.num_hosts > 1:
+            dev_batch = batch  # already a dict of global arrays
+        elif self.mesh is not None:
             dev_batch = jax.device_put(
                 batch, {k: self._batch_shardings[k] for k in batch}
             )
@@ -579,7 +659,10 @@ class Trainer:
             m = None
             for _ in range(k):
                 bench_state, m = self.train_step(bench_state, dev_batch, rng)
-            float(m["loss"])  # host fetch -> full sync
+            loss = m["loss"]
+            if self.num_hosts > 1:
+                loss = loss.addressable_data(0)
+            float(loss)  # host fetch -> full sync
             if watchdog is not None:
                 watchdog.beat(-2)  # bench progress counts as liveness
             return time.perf_counter() - t0

@@ -24,7 +24,16 @@ import jax
 
 
 def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
-    """Write ``tree`` to the directory ``path`` (should end in ``.orbax``)."""
+    """Write ``tree`` to the directory ``path`` (should end in ``.orbax``).
+
+    Multi-host: EVERY process must call this at the same point (orbax
+    coordinates internally; each host persists only the shards its devices
+    own). meta.json — which doubles as the finalization marker
+    ``latest_orbax_checkpoint`` keys on — is written by process 0 only,
+    with a cross-host barrier so no process can observe (or prune around)
+    a checkpoint whose marker hasn't landed."""
+    import jax
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -32,8 +41,13 @@ def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_meta:{os.path.basename(path)}")
     return path
 
 
@@ -78,10 +92,14 @@ def latest_orbax_checkpoint(out_dir: str) -> Optional[str]:
 def prune_orbax_checkpoints(
     out_dir: str, model_name: str, keep: int, protect: Tuple[str, ...] = ()
 ) -> None:
-    """Keep the newest ``keep`` periodic ``.orbax`` dirs; never best ones."""
+    """Keep the newest ``keep`` periodic ``.orbax`` dirs; never best ones.
+    Multi-host: only process 0 deletes (concurrent rmtree of one dir from
+    several hosts races; best-effort pruning needs no barrier)."""
     import shutil
 
-    if keep <= 0 or not os.path.isdir(out_dir):
+    import jax
+
+    if keep <= 0 or not os.path.isdir(out_dir) or jax.process_index() != 0:
         return
     entries = []
     for fname in os.listdir(out_dir):

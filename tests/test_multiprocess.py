@@ -24,3 +24,25 @@ def test_two_process_training_matches_single():
     )
     assert result.returncode == 0, result.stdout + result.stderr
     assert "MATCH" in result.stdout
+
+
+@pytest.mark.parametrize("scenario", ["A", "B", "C"])
+def test_production_trainer_multihost(scenario):
+    """The REAL Trainer + train CLI across 2 jax.distributed processes
+    (tools/multihost_trainer_check.py):
+
+    A: per-step losses + EERs match a single-process run (loader global
+       batch stream is host-count-invariant; SGD so cross-topology
+       reduction rounding stays sub-tolerance);
+    B: Orbax checkpoint -> fresh processes -> --requeue resume continues
+       the loss stream of an uninterrupted run exactly;
+    C: same lifecycle with the AM-Softmax W sharded ACROSS processes.
+    """
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_trainer_check.py"),
+         scenario],
+        capture_output=True, text=True, timeout=800, env=env, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    assert "MATCH" in result.stdout
