@@ -54,7 +54,7 @@ class ModelConfig:
     embedding_size: int = 400
     heads_number: int = 32
     pooling_method: str = "DoubleMHA"     # 'Attention' | 'MHA' | 'DoubleMHA' | 'StatisticalPooling'
-    mask_prob: float = 0.3                # head-dropout; P(drop) = 1 / int(1/mask_prob)
+    mask_prob: float = 0.3                # head-dropout; P(drop) = 1 / int(1/mask_prob); <=0 disables
     feature_size: int = 80                # hardcoded in reference (scripts/model.py:13)
     num_spkrs: int = 5994
     # AM-Softmax (scripts/loss.py:5-52)

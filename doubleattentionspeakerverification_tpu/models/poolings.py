@@ -131,9 +131,14 @@ def head_attention_pool(
     rng: Optional[jax.Array],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, d_h) -> (B, d_h): attention over head vectors with train-time
-    random head dropout (poolings.py:29-71, __narrowAttention path)."""
+    random head dropout (poolings.py:29-71, __narrowAttention path).
+
+    ``cfg.mask_prob <= 0`` disables the dropout entirely (an extension: the
+    reference computes ``int(1/mask_prob)`` at construction, poolings.py:36,
+    so 0 is outside its domain — don't export such a model for reference
+    TRAINING, inference is unaffected)."""
     scores = jnp.einsum("bhd,dk->bh", heads_ctx, params["att"])
-    if train:
+    if train and cfg.mask_prob > 0:
         if rng is None:
             raise ValueError("head_attention_pool needs an rng in train mode")
         n_levels = int(1.0 / cfg.mask_prob)  # P(drop) = 1/n_levels

@@ -268,6 +268,7 @@ def test_stall_exit_kills_wedged_training(tmp_path):
         from doubleattentionspeakerverification_tpu.utils.logging import MetricLogger
         from doubleattentionspeakerverification_tpu.utils.checkpoint import AsyncCheckpointer
         tr.cfg = cfg; tr.log = MetricLogger(); tr.mesh = None
+        tr.host_id = 0; tr.num_hosts = 1
         tr.model_name = cfg.derived_model_name()
         tr._print_t0 = 0.0; tr._pause_s = 0.0
         tr.best_eer = 50.0; tr.stopping = 0; tr.starting_epoch = 0; tr.epoch = 0

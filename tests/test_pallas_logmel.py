@@ -87,6 +87,37 @@ def test_train_step_with_pallas_dsp_matches_xla_dsp(tmp_path):
     assert losses["pallas"] == pytest.approx(losses["xla"], rel=1e-4)
 
 
+@pytest.mark.parametrize(
+    "cfg_kw, n_samples, tile_frames",
+    [
+        # 8 kHz telephony config: hop 80, n_fft 256 -> n_fft/hop = 3.2
+        # (non-integer whole-rows split, 16-sample remainder slice)
+        (dict(sample_rate=8000, n_fft=256), 12000, 32),
+        # hop 44: NOT a multiple of 8 sublanes; frame spans ceil(512/44)=12
+        # rows -> overlap rounds to 16
+        (dict(window_stride_s=0.00275), 6000, 32),
+        # n_fft an exact multiple of hop (480 = 3*160): the remainder-slice
+        # branch is skipped entirely
+        (dict(n_fft=480), 10000, 32),
+        # T (=10) < tile_frames (=128): single partial tile, heavy pad+trim
+        (dict(), 2000, 128),
+        # T exactly == tile_frames boundary
+        (dict(), 512 + 160 * 31, 32),
+    ],
+)
+def test_nondefault_config_parity(cfg_kw, n_samples, tile_frames):
+    """The roll-based framing derives all constants from the config
+    (``ops/logmel_pallas.py:94-112``); prove parity away from the 160/512
+    defaults it was tuned on."""
+    cfg = FeatureConfig(**cfg_kw)
+    rng = np.random.default_rng(11)
+    wave = (rng.standard_normal((2, n_samples)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(wave, cfg))
+    got = np.asarray(log_mel_spectrogram_pallas(wave, cfg, tile_frames=tile_frames))
+    assert got.shape == ref.shape == (2, num_frames(n_samples, cfg), cfg.n_mels)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
 def test_small_hop_parity():
     """hop 40 -> a frame spans 13 chunk rows (> the old hard-coded 8-row
     overlap): the kernel must derive the overlap from the config."""
