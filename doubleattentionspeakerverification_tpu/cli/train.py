@@ -86,6 +86,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             valid_impostors=params.valid_impostors,
             source=params.data_source,
             host_dsp=params.host_dsp,
+            wav_mode=params.wav_mode,
             num_workers=params.num_workers,
             valid_feature_cache_mb=params.valid_feature_cache_mb,
             train_feature_cache_mb=params.feature_cache_mb,
@@ -166,6 +167,13 @@ def make_parser() -> argparse.ArgumentParser:
                         help="wav mode: compute log-mel on the host (fused native C++ "
                              "kernel when built) and ship bf16/f32 feature frames instead "
                              "of PCM — ~2x fewer host->device bytes")
+    parser.add_argument("--wav_mode", type=str, default="auto",
+                        choices=["auto", "pcm", "host_dsp", "cache", "explicit"],
+                        help="wav mode selection when neither --host_dsp nor a "
+                             "--feature_cache_* flag is given (those always win): "
+                             "'auto' probes this host (cores + free RAM) and picks "
+                             "the fastest path, logging the decision; or force "
+                             "'pcm' / 'host_dsp' / 'cache'")
     parser.add_argument("--use_pallas_dsp", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="fused pallas log-mel kernel for the wav path (~2x DSP). "

@@ -11,9 +11,11 @@ Field names and defaults mirror the reference CLI flags
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
+import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -225,6 +227,16 @@ class DataConfig:
     # raw float32, byte-compatible with the extractor CLI), so the cache dir
     # is reusable as a --data_source features directory. Empty = off.
     train_feature_cache_dir: str = ""
+    # How '--data_source wav' picks its concrete path when neither host_dsp
+    # nor a cache budget/dir is set (explicit flags ALWAYS win):
+    #   'explicit'  legacy: plain wav means PCM to the device (device DSP)
+    #   'auto'      one-shot host probe (cores + free RAM) picks the fastest
+    #               mode for this machine; decision is memoized and logged
+    #   'pcm' / 'host_dsp' / 'cache'   force that path
+    # The train CLI defaults to 'auto' (replaces the reference's manual
+    # offline pipeline choice, featureExtractor.py:35-43); the library
+    # default stays 'explicit' for backward compatibility.
+    wav_mode: str = "explicit"
 
     def source_mode(self) -> str:
         """The concrete training source path these flags select — decided in
@@ -243,12 +255,86 @@ class DataConfig:
             return "wav_cache"
         if self.host_dsp:
             return "wav_host_dsp"
-        return "wav_pcm"
+        mode = self.wav_mode
+        if mode == "auto":
+            mode = auto_wav_mode()[0]
+        if mode in ("pcm", "explicit"):
+            return "wav_pcm"
+        if mode == "host_dsp":
+            return "wav_host_dsp"
+        if mode == "cache":
+            return "wav_cache"
+        raise ValueError(f"unknown wav_mode {self.wav_mode!r}")
+
+    def effective_train_cache_mb(self) -> float:
+        """RAM budget the training feature cache actually runs with: the
+        explicit flag, or the probe-sized default when 'cache' was chosen
+        by name/auto without one."""
+        if self.train_feature_cache_mb > 0:
+            return self.train_feature_cache_mb
+        if self.source_mode() == "wav_cache" and not self.train_feature_cache_dir:
+            return auto_wav_mode()[1] or 512.0
+        return 0.0
 
     def step_sees_waves(self) -> bool:
         """True iff training batches carry raw PCM (the jitted step runs the
         on-device DSP front-end)."""
         return self.source_mode() == "wav_pcm"
+
+
+@functools.lru_cache(maxsize=None)
+def _host_probe() -> Tuple[int, float]:
+    """(cpu_count, MemAvailable_mb) — memoized so every consumer of the auto
+    wav-mode decision (loader, kernel resolver, logs) sees the same facts
+    even as free RAM drifts during the run."""
+    cpus = os.cpu_count() or 1
+    avail_mb = 0.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_mb = float(line.split()[1]) / 1024.0
+                    break
+    except OSError:
+        pass
+    return cpus, avail_mb
+
+
+def _auto_wav_mode_from(cpus: int, avail_mb: float) -> Tuple[str, float, str]:
+    """Pure decision: (mode, default_cache_mb, reason).
+
+    Measured basis (tools/e2e_soak.py, BASELINE.md r2): the compute-once
+    feature cache sustains ~95% of the session step ceiling on a 2-core host
+    (steady state == feature-mode cost) while the PCM/device-DSP path sits at
+    ~62% there (decode-bound + 2x transfer bytes). Device DSP only wins when
+    host cores are plentiful relative to the chip (standard TPU-VM shape),
+    where it keeps the host free at ~3.5% chip overhead.
+    """
+    cache_mb = min(4096.0, avail_mb * 0.2)
+    if cache_mb >= 256.0:
+        return (
+            "cache",
+            float(int(cache_mb)),
+            f"{avail_mb:.0f} MB free RAM -> compute-once feature cache "
+            f"({int(cache_mb)} MB budget); steady state == feature-mode cost",
+        )
+    if cpus >= 8:
+        return (
+            "pcm",
+            0.0,
+            f"{cpus} host cores, low free RAM -> PCM decode + on-device DSP",
+        )
+    return (
+        "host_dsp",
+        0.0,
+        f"{cpus} host cores, low free RAM -> native host DSP (compact "
+        "feature transfer)",
+    )
+
+
+def auto_wav_mode() -> Tuple[str, float, str]:
+    """The memoized auto decision for this host: (mode, cache_mb, reason)."""
+    return _auto_wav_mode_from(*_host_probe())
 
 
 @dataclass(frozen=True)

@@ -72,6 +72,30 @@ class Trainer:
         # begin — a watchdog started in train() never fires for those.
         self._watchdog = self._make_watchdog().start()
 
+        if (
+            self.num_hosts > 1
+            and cfg.data.source == "wav"
+            and cfg.data.wav_mode == "auto"
+        ):
+            # The auto decision changes the STEP INPUT MODALITY (PCM vs
+            # features) and therefore the compiled program — hosts with
+            # heterogeneous cores/RAM must not diverge. Pin every host to
+            # process 0's choice.
+            import dataclasses as _dc
+
+            from jax.experimental import multihost_utils
+
+            from ..config import auto_wav_mode
+
+            modes = ("pcm", "host_dsp", "cache")
+            code = multihost_utils.broadcast_one_to_all(
+                np.int32(modes.index(auto_wav_mode()[0]))
+            )
+            cfg = _dc.replace(
+                cfg, data=_dc.replace(cfg.data, wav_mode=modes[int(code)])
+            )
+            self.cfg = cfg
+
         params, model_state = init_speaker_classifier(
             jax.random.PRNGKey(cfg.train.seed), cfg.model
         )
@@ -154,6 +178,20 @@ class Trainer:
         # one source-mode decision, shared with the kernel resolver
         # (utils/kernel_auto.py) so the step input modality can't diverge
         mode = cfg.data.source_mode()
+        if cfg.data.source == "wav":
+            from ..config import auto_wav_mode
+
+            self.log.log(
+                "source_mode",
+                mode=mode,
+                wav_mode=cfg.data.wav_mode,
+                cache_mb=cfg.data.effective_train_cache_mb(),
+                reason=(
+                    auto_wav_mode()[2]
+                    if cfg.data.wav_mode == "auto"
+                    else "explicit flags"
+                ),
+            )
         if mode == "wav_cache":
             # compute-once full-utterance features (host DSP on first touch),
             # re-windowed per epoch — steady state == feature-mode cost
@@ -162,7 +200,7 @@ class Trainer:
             source = CachedDspWavSource(
                 cfg.data.train_data_dir, cfg.features, window_frames,
                 cfg.train.normalization,
-                cache_mb=cfg.data.train_feature_cache_mb,
+                cache_mb=cfg.data.effective_train_cache_mb(),
                 cache_dir=cfg.data.train_feature_cache_dir,
             )
             is_wave = False
