@@ -196,6 +196,45 @@ def main():
         embed_time = max(1e-9, (e_b - e_a) / (ek2 - ek1))
         embed_audio = (eb * (et / 100.0)) / embed_time
 
+    # ---- int8 embedding throughput (same 16x10 s workload): the serving
+    # fast path (models/quantized.py) quantizes the conv stack to int8 on
+    # the MXU; measured with the same two-point timing plus an on-device
+    # cosine-parity guard against the fp embeddings just benched
+    int8_time = int8_audio = int8_cos_min = None
+    if not large_vocab:
+        from doubleattentionspeakerverification_tpu.models.quantized import (
+            get_embedding_int8,
+            quantize_vgg,
+        )
+
+        qvgg = quantize_vgg(state.params["vgg"])
+        int8_fn = jax.jit(partial(get_embedding_int8, cfg=embed_cfg))
+
+        def one_int8(_i):
+            e = int8_fn(state.params, qvgg, state.model_state, x, lens)
+            return scalar_of(e)
+
+        timed_chain(one_int8, 1)
+        q_a = timed_chain(one_int8, ek1)
+        q_b = timed_chain(one_int8, ek2)
+        int8_time = max(1e-9, (q_b - q_a) / (ek2 - ek1))
+        int8_audio = (eb * (et / 100.0)) / int8_time
+
+        # parity guard: per-row cosine vs the fp path, min over the batch,
+        # reduced on device (one scalar fetch)
+        import jax.numpy as jnp
+
+        def _cos_min(p, q_p, s_ms):
+            a = get_embedding(p, s_ms, x, lens, embed_cfg)
+            b_ = get_embedding_int8(p, q_p, s_ms, x, lens, embed_cfg)
+            a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+            b_ = b_ / jnp.linalg.norm(b_, axis=-1, keepdims=True)
+            return jnp.min(jnp.sum(a * b_, -1))
+
+        int8_cos_min = float(
+            jax.jit(_cos_min)(state.params, qvgg, state.model_state)
+        )
+
     # ---- end-to-end train: fresh host batches each step, bf16 transfer
     # (the production path: loader -> device copy -> step; proves the copy
     # is hidden / cheap with the reduced transfer dtype). Opt-in: it costs
@@ -268,6 +307,22 @@ def main():
                     ),
                 }
                 if embed_time is not None
+                else {}
+            ),
+            **(
+                {
+                    "embed_int8_audio_s_per_s": round(int8_audio, 1),
+                    "embed_int8_tflops": round(
+                        (eb / int8_time)
+                        * forward_flops_per_sample(cfg.model, et)
+                        / 1e12,
+                        1,
+                    ),
+                    # fp-embedding cosine floor across the bench batch; the
+                    # serving fast path is only honest if this stays ~1
+                    "embed_int8_cos_min": round(int8_cos_min, 5),
+                }
+                if int8_time is not None
                 else {}
             ),
             **(

@@ -36,7 +36,8 @@ class SpeakerEmbeddingModel:
         self.normalization = normalization
         self.quantize = quantize
         if quantize == "int8":
-            # int8 conv stack (2x MXU rate): weights quantized once here,
+            # int8 conv stack (1.47x embed throughput measured on v5e,
+            # models/quantized.py): weights quantized once here,
             # activations dynamically per forward; tail stays fp
             from .models.quantized import get_embedding_int8, quantize_vgg
 
@@ -67,13 +68,14 @@ class SpeakerEmbeddingModel:
         return cls(params, state, cfg, normalization, quantize=quantize)
 
     @classmethod
-    def from_random_init(cls, cfg: ExperimentConfig, seed: int = 0) -> "SpeakerEmbeddingModel":
+    def from_random_init(cls, cfg: ExperimentConfig, seed: int = 0,
+                         quantize: str = "none") -> "SpeakerEmbeddingModel":
         import jax
 
         from .models.classifier import init_speaker_classifier
 
         params, state = init_speaker_classifier(jax.random.PRNGKey(seed), cfg.model)
-        return cls(params, state, cfg)
+        return cls(params, state, cfg, quantize=quantize)
 
     # ------------------------------------------------------------- embed
     def embed_features(self, features: np.ndarray,

@@ -2,9 +2,13 @@
 
 The reference has no quantized inference (its serving story is a one-shot
 fp32 script, ``scripts/getEmbeddingExample.py``). On TPU the MXU runs int8
-matmuls/convs at 2x the bf16 rate (~369 vs ~191 TFLOP/s measured on v5e for
-the flagship conv shape), and the VGG encoder is >99% of embedding FLOPs —
-so quantizing just the conv stack nearly doubles embedding throughput.
+convs well above the bf16 rate (358 vs 122 TFLOP/s measured on v5e at the
+flagship block-1 conv shape, 2.9x), and the VGG encoder is >99% of
+embedding FLOPs. End to end the win is bounded by the non-MXU chain both
+paths share (Amdahl): measured on v5e, int8 embedding runs **1.47x** the
+bf16 path (19,277 vs 13,107 audio-s/s on the 16x10 s bench workload,
+BENCH_r03 extras) — the conv MXU time drops ~6 ms -> ~2 ms while ~6 ms of
+quantize/mask/pool/tail elementwise remains in both.
 
 Scheme (standard, robust for cosine-scored embeddings):
 - weights: symmetric per-output-channel int8, quantized once at load time;
@@ -49,10 +53,17 @@ def quantize_vgg(vgg_params) -> dict:
     return q
 
 
-def _conv3x3_int8(x: jnp.ndarray, qp) -> jnp.ndarray:
-    """f32 NHWC -> int8 conv on the MXU -> dequantized f32 (+bias)."""
-    sx = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
-    x_q = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+def _conv3x3_int8(x: jnp.ndarray, qp, compute_dtype) -> jnp.ndarray:
+    """NHWC -> int8 conv on the MXU -> dequantized ``compute_dtype`` (+bias).
+
+    The int8 MXU rate (~2.9x bf16 measured on v5e at the flagship block-1
+    shape) only survives end to end if the quantize/dequantize elementwise
+    passes around each conv stay cheap: the activation amax reduces in f32
+    (scale accuracy) but every tensor-sized read/write runs in the model's
+    compute dtype — in bf16 that halves the HBM bytes of the non-MXU chain,
+    which otherwise dominates the embed step."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         x_q,
         qp["w_q"],
@@ -61,7 +72,8 @@ def _conv3x3_int8(x: jnp.ndarray, qp) -> jnp.ndarray:
         dimension_numbers=_CONV_DN,
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * (sx * qp["w_s"]) + qp["b"]
+    scale = (sx * qp["w_s"]).astype(compute_dtype)
+    return y.astype(compute_dtype) * scale + qp["b"].astype(compute_dtype)
 
 
 def quantized_vgg_apply(
@@ -73,13 +85,14 @@ def quantized_vgg_apply(
     """int8 twin of ``vgg.vgg_apply`` — same block/mask/pool structure
     (conv3x3+ReLU, conv3x3+ReLU, ceil-maxpool per block; pad frames re-zeroed
     after every ReLU so padded batches match unpadded forwards)."""
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
     n_blocks = 3 if cfg.front_end == "VGG3L" else 4
-    h = mask_time(x.astype(jnp.float32), lengths)[..., None]
+    h = mask_time(x.astype(compute_dtype), lengths)[..., None]
     cur_len = lengths
     for i in range(n_blocks):
-        h = jax.nn.relu(_conv3x3_int8(h, qparams[f"conv{i + 1}1"]))
+        h = jax.nn.relu(_conv3x3_int8(h, qparams[f"conv{i + 1}1"], compute_dtype))
         h = mask_time(h, cur_len)
-        h = jax.nn.relu(_conv3x3_int8(h, qparams[f"conv{i + 1}2"]))
+        h = jax.nn.relu(_conv3x3_int8(h, qparams[f"conv{i + 1}2"], compute_dtype))
         h = mask_time(h, cur_len)
         h = _ceil_maxpool2(h)
         if cur_len is not None:

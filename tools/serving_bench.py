@@ -35,12 +35,24 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="overlapping in-flight forwards (MicroBatcher pipeline depth)")
+    ap.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                    help="serve the int8 conv encoder (cli/serve.py --quantize int8)")
     args = ap.parse_args()
 
     import jax
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+
+    # persistent compilation cache: sweep runs (e.g. pipeline {1,2,4}) skip
+    # the multi-bucket flagship compiles after the first invocation
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
     from doubleattentionspeakerverification_tpu.config import (
@@ -61,10 +73,10 @@ def main() -> int:
         buckets = (200, 350, 500, 1000)
         lengths = [150, 300, 350, 480, 800, 1000]  # 1.5 s - 10 s utterances
 
-    model = SpeakerEmbeddingModel.from_random_init(cfg, seed=0)
+    model = SpeakerEmbeddingModel.from_random_init(cfg, seed=0, quantize=args.quantize)
     batcher = MicroBatcher(
         model, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        buckets=buckets,
+        buckets=buckets, pipeline=args.pipeline,
     )
     rng0 = np.random.default_rng(0)
     feats = {
@@ -123,6 +135,8 @@ def main() -> int:
                 "batched_ratio": round(s["requests"] / max(1, s["forwards"]), 2),
                 "max_batch": args.max_batch,
                 "max_wait_ms": args.max_wait_ms,
+                "pipeline": args.pipeline,
+                "quantize": args.quantize,
                 "device": str(jax.devices()[0]),
                 **({"smoke": True} if args.smoke else {}),
             },
