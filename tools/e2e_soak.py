@@ -101,7 +101,8 @@ def extract_pickles(wav_dir: str, workdir: str):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["features", "hostdsp", "pcm"], default="hostdsp")
+    ap.add_argument("--mode", choices=["features", "hostdsp", "pcm", "auto"],
+                    default="hostdsp")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--workdir", default="/tmp/dmha_soak")
     ap.add_argument("--per_speaker", type=int, default=20,
@@ -168,8 +169,14 @@ def main() -> int:
     elif args.mode == "hostdsp":
         cli += ["--data_source", "wav", "--host_dsp", "--transfer_dtype", "bfloat16",
                 "--feature_cache_mb", "2048"]
+    elif args.mode == "auto":
+        # plain wav: the one-shot host probe picks the concrete path
+        # (config.py:auto_wav_mode) — the production default a migrating
+        # user hits with nothing but --data_source wav
+        cli += ["--data_source", "wav", "--transfer_dtype", "bfloat16"]
     else:  # pcm: int16 waves to the device, DSP on-chip (pallas auto-gates)
-        cli += ["--data_source", "wav", "--transfer_dtype", "int16"]
+        cli += ["--data_source", "wav", "--transfer_dtype", "int16",
+                "--wav_mode", "pcm"]
 
     base_out = out_dir
     for attempt in range(max(1, args.attempts)):
