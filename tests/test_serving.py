@@ -40,6 +40,45 @@ def test_microbatcher_matches_direct(model):
         batcher.close()
 
 
+def test_microbatcher_mixed_buckets_fill_separately(model):
+    """The batching window is per LENGTH BUCKET: 8+8 co-arriving requests in
+    two buckets must produce two FULL forwards, not four half-filled ones
+    (the old total-size cap handed every forward max_batch/n_buckets rows —
+    measured as a 2x saturated-throughput loss, serving.py:_run)."""
+    # pipeline=1: if one bucket fills before the other's stragglers arrive,
+    # the second bucket tops up while the first chunk's flush holds the
+    # single slot — so co-arrival races can't split it into a third forward
+    batcher = MicroBatcher(
+        model, max_batch=8, max_wait_ms=250.0, buckets=(64, 128), pipeline=1
+    )
+    try:
+        batcher.warmup([40, 100])  # compile both buckets; resets counters
+        n = 16
+        feats = [_feats(40 if i % 2 == 0 else 100, seed=i) for i in range(n)]
+        results = [None] * n
+
+        def call(i):
+            results[i] = batcher.embed(feats[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        s = batcher.stats()
+        assert s["requests"] == n
+        # one full forward per bucket; <=3 tolerates a straggler split on a
+        # loaded CI box (the old total-size cap ALWAYS produced >=4 here)
+        assert s["forwards"] <= 3, s
+        for i in range(n):
+            want = model.embed_features(
+                feats[i][None], np.array([feats[i].shape[0]], np.int32)
+            )[0]
+            np.testing.assert_allclose(results[i], want, atol=2e-5, rtol=1e-5)
+    finally:
+        batcher.close()
+
+
 def test_microbatcher_concurrent_requests_batched(model):
     batcher = MicroBatcher(model, max_batch=8, max_wait_ms=100.0, buckets=(64,))
     try:
