@@ -568,6 +568,8 @@ class Trainer:
         last_metrics = None
         last_batch = None
         wait_s = dispatch_s = 0.0  # host-side accounting per print window
+        # lazy default: Trainers assembled piecewise skip __init__
+        self._dispatch_hint_logged = getattr(self, "_dispatch_hint_logged", False)
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             epoch_batches = self.loader.epoch(self.epoch)
@@ -638,6 +640,25 @@ class Trainer:
                         loader_wait_s=round(wait_s, 3),
                         dispatch_s=round(dispatch_s, 3),
                     )
+                    # Actionable hint, once: a healthy dispatch (async submit
+                    # of an already-compiled step) costs ~1 ms; tens of ms per
+                    # step means the backend charges the host->device batch
+                    # transfer synchronously (relayed links do, in some
+                    # sessions) — a background transfer thread hides it
+                    # (measured +10 pts of step ceiling, docs/PERFORMANCE.md).
+                    if (
+                        not self._dispatch_hint_logged
+                        and cfg.train.device_prefetch == 0
+                        and window_n >= 5
+                        and dispatch_s / window_n > 0.02
+                    ):
+                        self._dispatch_hint_logged = True
+                        self.log.log(
+                            "perf_hint",
+                            dispatch_ms_per_step=round(1e3 * dispatch_s / window_n, 1),
+                            hint="step dispatch is paying the batch transfer "
+                            "synchronously; consider --device_prefetch 2",
+                        )
                     wait_s = dispatch_s = 0.0
                     self._print_t0 = time.time()
                     self._pause_s = 0.0

@@ -234,6 +234,67 @@ def test_long_utterance_embedding_finite():
     np.testing.assert_allclose(emb[1], e_short[0], atol=3e-5)
 
 
+def test_dispatch_latency_hint(tmp_path):
+    """A window averaging >20 ms/step of dispatch (synchronous transfer on a
+    relayed link) logs ONE actionable perf_hint recommending
+    --device_prefetch (trainer.py print-window accounting)."""
+    import pickle
+    import time as _time
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.training.trainer import Trainer
+
+    feats_dir = tmp_path / "f"
+    feats_dir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(8):
+        with open(feats_dir / f"u{i}.pickle", "wb") as f:
+            pickle.dump(rng.standard_normal((80, 60)).astype(np.float32), f)
+        lines.append(f"u{i} {i % 2} -1\n")
+    lbl = tmp_path / "l.ndx"
+    lbl.write_text("".join(lines))
+    cfg = ExperimentConfig(
+        out_dir=str(tmp_path / "o"),
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=2),
+        train=TrainConfig(window_size=0.5, batch_size=2, gradient_accumulation=1,
+                          max_epochs=4, print_every=8, validate_every=0),
+        data=DataConfig(train_data_dir=str(feats_dir), train_labels_path=str(lbl),
+                        num_workers=1),
+    )
+
+    class Rec:
+        def __init__(self):
+            self.events = []
+
+        def log(self, e, **f):
+            self.events.append((e, f))
+
+        def close(self):
+            pass
+
+    rec = Rec()
+    tr = Trainer(cfg, logger=rec)
+    real = tr.train_step
+
+    def slow(*a, **k):
+        _time.sleep(0.03)
+        return real(*a, **k)
+
+    tr.train_step = slow
+    tr.train()
+    hints = [f for e, f in rec.events if e == "perf_hint"]
+    assert len(hints) == 1  # once, not per window
+    assert hints[0]["dispatch_ms_per_step"] > 20
+
+
 def test_stall_exit_kills_wedged_training(tmp_path):
     """stall_exit_s > 0: a training process whose first step never completes
     must exit(17) (requeue-able) instead of hanging forever."""
