@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     p.add_argument("--normalization", type=str, default="cmn",
                    choices=["cmn", "cmvn"])
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                   help="'int8': int8 conv encoder for the batch extraction "
+                        "(1.47x embed throughput on v5e; scores cosine-match "
+                        "fp to ~1e-3 — prefer fp when reporting parity EERs)")
     p.add_argument("--save_embeddings", type=str, default=None,
                    help="write every embedding computed during scoring to "
                         "this .npz (embedding store; reusable across runs)")
@@ -86,8 +90,21 @@ def main(argv=None) -> int:
         loader = wav_feature_loader(args.data_dir, cfg.features, args.normalization)
     else:
         loader = pickle_feature_loader(args.data_dir, args.normalization)
+    embed_fn = None
+    if args.quantize == "int8":
+        import jax
+
+        from ..models.quantized import get_embedding_int8, quantize_vgg
+        from ..utils.kernel_auto import resolve_model_kernels
+
+        rcfg = resolve_model_kernels(cfg.model, need_dsp=False)
+        qvgg = quantize_vgg(params["vgg"])  # closed over: weights are fixed
+        embed_fn = jax.jit(
+            lambda p, s, x, lens: get_embedding_int8(p, qvgg, s, x, lens, rcfg)
+        )
     extractor = EmbeddingExtractor(
-        params, state, cfg.model, loader, batch_size=args.batch_size
+        params, state, cfg.model, loader, batch_size=args.batch_size,
+        embed_fn=embed_fn,
     )
     if args.load_embeddings:
         from ..evaluation.embeddings import load_embeddings

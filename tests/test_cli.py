@@ -305,6 +305,50 @@ def test_score_trials_cli(tmp_path):
     assert all(-1.0 <= float(l.split()[2]) <= 1.0 for l in lines)
 
 
+def test_score_trials_int8_matches_fp(tmp_path):
+    """--quantize int8 runs the batch extraction through the int8 encoder;
+    scores must match the fp run to quantization tolerance (~1e-3 cosine,
+    models/quantized.py)."""
+    import pickle as pkl
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.cli.score_trials import main as score_main
+    from doubleattentionspeakerverification_tpu.config import ExperimentConfig, ModelConfig
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import init_train_state
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=4),
+    )
+    p, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    ck = str(tmp_path / "m_1.npz")
+    save_checkpoint(ck, init_train_state(p, ms, cfg), {"config": cfg.to_dict()})
+
+    rng = np.random.default_rng(1)
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    for u in ("a", "b", "c"):
+        with open(feats / f"{u}.pickle", "wb") as f:
+            pkl.dump(rng.standard_normal((80, 70)).astype(np.float32), f)
+    (tmp_path / "tr.ndx").write_text("a b\na c\nb c\n")
+
+    outs = {}
+    for mode in ("none", "int8"):
+        out = str(tmp_path / f"scores_{mode}.txt")
+        rc = score_main([
+            "--modelCheckpoint", ck, "--data_dir", str(feats),
+            "--trials", str(tmp_path / "tr.ndx"), "--output", out,
+            "--quantize", mode,
+        ])
+        assert rc == 0
+        outs[mode] = [float(l.split()[2]) for l in open(out).read().strip().splitlines()]
+    np.testing.assert_allclose(outs["int8"], outs["none"], atol=5e-3)
+
+
 def test_bench_watchdog_recovers_from_wedged_attempt(tmp_path):
     """bench.py parent harness: a wedged first attempt is killed at the
     attempt timeout and the retry's JSON line is forwarded (the relayed TPU
