@@ -37,16 +37,11 @@ class SpeakerEmbeddingModel:
         self.quantize = quantize
         if quantize == "int8":
             # int8 conv stack (1.47x embed throughput measured on v5e,
-            # models/quantized.py): weights quantized once here,
-            # activations dynamically per forward; tail stays fp
-            from .models.quantized import get_embedding_int8, quantize_vgg
+            # models/quantized.py): weights quantized once, activations
+            # dynamically per forward; tail stays fp
+            from .models.quantized import make_int8_embed_fn
 
-            self._qvgg = jax.device_put(quantize_vgg(params["vgg"]))
-            self._embed = jax.jit(
-                lambda p, s, x, lens: get_embedding_int8(
-                    p, self._qvgg, s, x, lens, cfg.model
-                )
-            )
+            self._embed = make_int8_embed_fn(params, cfg.model)
         elif quantize == "none":
             from .utils.kernel_auto import resolve_model_kernels
 

@@ -92,16 +92,9 @@ def main(argv=None) -> int:
         loader = pickle_feature_loader(args.data_dir, args.normalization)
     embed_fn = None
     if args.quantize == "int8":
-        import jax
+        from ..models.quantized import make_int8_embed_fn
 
-        from ..models.quantized import get_embedding_int8, quantize_vgg
-        from ..utils.kernel_auto import resolve_model_kernels
-
-        rcfg = resolve_model_kernels(cfg.model, need_dsp=False)
-        qvgg = quantize_vgg(params["vgg"])  # closed over: weights are fixed
-        embed_fn = jax.jit(
-            lambda p, s, x, lens: get_embedding_int8(p, qvgg, s, x, lens, rcfg)
-        )
+        embed_fn = make_int8_embed_fn(params, cfg.model)
     extractor = EmbeddingExtractor(
         params, state, cfg.model, loader, batch_size=args.batch_size,
         embed_fn=embed_fn,

@@ -324,9 +324,13 @@ class TrainLoader:
 
         key = "waves" if self.is_wave else "inputs"
         if self.cfg.transfer_dtype != "float32":
-            if self.is_wave and self.cfg.transfer_dtype == "int16":
+            if self.is_wave:
                 # ship the original PCM16 samples losslessly at half width;
-                # the device divides by 32768 again (dsp re-multiplies)
+                # the device divides by 32768 again (dsp re-multiplies).
+                # bfloat16 is silently promoted to int16 here: same 2
+                # bytes/sample on the wire, but bf16's 8-bit mantissa would
+                # QUANTIZE the audio (features then drift systematically) —
+                # the flag means "halve the transfer", not "degrade PCM"
                 inputs = np.clip(inputs * 32768.0, -32768, 32767).astype(np.int16)
             elif self.cfg.transfer_dtype == "bfloat16":
                 import ml_dtypes

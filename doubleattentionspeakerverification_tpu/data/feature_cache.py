@@ -195,3 +195,31 @@ class CachedDspWavSource:
         feats = normalize_np(self.cache.get(utt.path), self.normalization)
         win = sample_window(feats, self.window, rng)
         return win, win.shape[0]
+
+
+def estimate_feature_working_set_mb(
+    data_dir: str, utt_paths, sample: int = 64
+) -> float:
+    """Rough full-corpus feature-RAM estimate from a deterministic sample of
+    wav file sizes (evenly strided through the manifest, so every host of a
+    multi-host run computes the identical number).
+
+    At the reference constants, f32 log-mel features cost almost exactly the
+    PCM16 bytes they came from: 80 mels x 4 B per 160-sample hop x 2 B/sample
+    = 320/320 bytes — so the wav bytes ARE the estimate."""
+    n = len(utt_paths)
+    if n == 0:
+        return 0.0
+    total = counted = 0
+    for i in range(0, n, max(1, n // sample)):
+        p = os.path.join(data_dir, utt_paths[i])
+        if not p.endswith(".wav"):
+            p += ".wav"
+        try:
+            total += os.path.getsize(p)
+            counted += 1
+        except OSError:
+            pass
+    if counted == 0:
+        return 0.0
+    return (total / counted) * n / 1e6

@@ -102,6 +102,21 @@ def quantized_vgg_apply(
     return out, cur_len
 
 
+def make_int8_embed_fn(params, cfg: ModelConfig):
+    """The one place the int8 inference path is wired: quantizes the conv
+    weights once (closed over) and returns a jitted
+    ``(params, state, x, lengths) -> (B, emb)`` drop-in for the fp
+    ``get_embedding`` — shared by ``api.SpeakerEmbeddingModel`` and the
+    ``score_trials`` CLI so their quantize schemes cannot diverge."""
+    from ..utils.kernel_auto import resolve_model_kernels
+
+    rcfg = resolve_model_kernels(cfg, need_dsp=False)
+    qvgg = quantize_vgg(params["vgg"])
+    return jax.jit(
+        lambda p, s, x, lens: get_embedding_int8(p, qvgg, s, x, lens, rcfg)
+    )
+
+
 def get_embedding_int8(
     params,
     qvgg,

@@ -4,8 +4,13 @@ The reference scales past one node only via slurm requeue restarts (no
 torch.distributed anywhere — SURVEY §2b). Here multi-host data parallelism
 is native: ``jax.distributed.initialize`` connects the hosts, every host
 runs the same program, the global mesh spans all chips (ICI within a slice,
-DCN across hosts, both handled by the runtime), and each host feeds its own
-manifest shard (``data.manifest.shard_for_host``).
+DCN across hosts, both handled by the runtime). Every host derives the
+IDENTICAL global batch stream — a pure function of (seed, epoch, step,
+global row) — and assembles only the rows its own devices hold under the
+batch sharding (``data.dataset.TrainLoader`` with ``local_rows``,
+``parallel.mesh.globalize_batch``); a 2-host run therefore consumes
+bit-identical batches to a 1-host run while touching batch/num_hosts
+files per step.
 """
 
 from __future__ import annotations
@@ -45,10 +50,16 @@ def initialize(
         force or coordinator_address is not None or os.environ.get("SLURM_NTASKS")
     )
     # already-initialized check must NOT touch the backend: jax.process_count()
-    # initializes XLA, after which jax.distributed.initialize refuses to run
-    from jax._src import distributed as _dist
+    # initializes XLA, after which jax.distributed.initialize refuses to run.
+    # Public API first (backend-free); private fallback for older jax.
+    if hasattr(jax.distributed, "is_initialized"):
+        already = jax.distributed.is_initialized()
+    else:  # pragma: no cover - older jax
+        from jax._src import distributed as _dist
 
-    already = getattr(getattr(_dist, "global_state", None), "client", None) is not None
+        already = (
+            getattr(getattr(_dist, "global_state", None), "client", None) is not None
+        )
     if want_multi and not already:
         kwargs = {}
         if coordinator_address:

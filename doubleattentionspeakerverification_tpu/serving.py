@@ -51,13 +51,14 @@ SERVE_BUCKETS = (100, 200, 350, 500, 750, 1000, 1500, 2000, 3000, 4000, 6000, 80
 
 
 class _Pending:
-    __slots__ = ("feats", "event", "result", "error")
+    __slots__ = ("feats", "event", "result", "error", "created")
 
     def __init__(self, feats: np.ndarray):
         self.feats = feats
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        self.created = time.monotonic()
 
 
 class MicroBatcher:
@@ -187,7 +188,13 @@ class MicroBatcher:
                             shutdown = True
                         else:
                             add(nxt)
-                bucket = max(pending, key=lambda b: len(pending[b]))
+                # OLDEST-waiting bucket first, not fullest: under sustained
+                # load the slot-wait drain keeps refilling hot buckets, and
+                # fullest-first would starve a sparse bucket's lone request
+                # until embed_timeout. Oldest-first is starvation-free and
+                # batches just as well (the oldest bucket has been
+                # accumulating co-riders the longest).
+                bucket = min(pending, key=lambda b: pending[b][0].created)
                 items = pending.pop(bucket)
                 chunk, rest = items[: self.max_batch], items[self.max_batch :]
                 if rest:
@@ -211,6 +218,9 @@ class MicroBatcher:
         with self._stats_lock:
             self._stats["requests"] += len(batch)
             self._stats["batched"] += len(batch) > 1
+        # _run already hands over single-bucket chunks <= max_batch; the
+        # grouping below is a no-op there, kept so _flush stays correct for
+        # any direct caller (close()'s inline fallback, future paths)
         by_bucket = {}
         for p in batch:
             by_bucket.setdefault(bucket_for(p.feats.shape[0], self.buckets), []).append(p)

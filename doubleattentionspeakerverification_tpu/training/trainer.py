@@ -72,6 +72,11 @@ class Trainer:
         # begin — a watchdog started in train() never fires for those.
         self._watchdog = self._make_watchdog().start()
 
+        # remember what the USER asked for: the multi-host broadcast below
+        # replaces 'auto' with the concrete mode, and the source_mode log /
+        # cache-demotion logic must attribute the decision to the probe,
+        # not to explicit flags
+        self._wav_mode_requested = cfg.data.wav_mode
         if (
             self.num_hosts > 1
             and cfg.data.source == "wav"
@@ -178,19 +183,48 @@ class Trainer:
         # one source-mode decision, shared with the kernel resolver
         # (utils/kernel_auto.py) so the step input modality can't diverge
         mode = cfg.data.source_mode()
+        requested_auto = (
+            getattr(self, "_wav_mode_requested", cfg.data.wav_mode) == "auto"
+        )
+        reason = None
+        if (
+            mode == "wav_cache"
+            and requested_auto
+            and cfg.data.train_feature_cache_mb <= 0
+            and not cfg.data.train_feature_cache_dir
+        ):
+            # The probe sized the cache from free RAM without seeing the
+            # corpus. If the feature working set clearly exceeds the budget,
+            # the LRU would thrash — each miss recomputes a FULL utterance's
+            # DSP (~2.3x a window), worse than plain per-window host DSP —
+            # so demote. Safe vs the kernel resolver: both modes feed the
+            # step FEATURES, so the compiled program is unchanged; and
+            # deterministic across hosts (identical manifest, strided
+            # file-size sample).
+            from ..data.feature_cache import estimate_feature_working_set_mb
+
+            budget_mb = cfg.data.effective_train_cache_mb()
+            est_mb = estimate_feature_working_set_mb(
+                cfg.data.train_data_dir, [u.path for u in manifest]
+            )
+            if est_mb > 1.2 * budget_mb:
+                mode = "wav_host_dsp"
+                reason = (
+                    f"auto cache demoted to host DSP: estimated feature "
+                    f"working set {est_mb:.0f} MB vs {budget_mb:.0f} MB budget "
+                    "(LRU thrash would recompute full utterances per window)"
+                )
         if cfg.data.source == "wav":
             from ..config import auto_wav_mode
 
+            if reason is None:
+                reason = auto_wav_mode()[2] if requested_auto else "explicit flags"
             self.log.log(
                 "source_mode",
                 mode=mode,
                 wav_mode=cfg.data.wav_mode,
                 cache_mb=cfg.data.effective_train_cache_mb(),
-                reason=(
-                    auto_wav_mode()[2]
-                    if cfg.data.wav_mode == "auto"
-                    else "explicit flags"
-                ),
+                reason=reason,
             )
         if mode == "wav_cache":
             # compute-once full-utterance features (host DSP on first touch),

@@ -169,6 +169,31 @@ def test_random_slicing_buckets(tmp_path):
     assert len(shapes) >= 2  # actually varies
 
 
+def test_wave_bf16_transfer_promoted_to_int16(tmp_path):
+    """transfer_dtype='bfloat16' on a WAVE loader must ship lossless int16
+    PCM, never bf16-quantized audio (8-bit mantissa would systematically
+    shift the on-device features; dataset.py transfer block)."""
+    from doubleattentionspeakerverification_tpu.config import FeatureConfig
+    from doubleattentionspeakerverification_tpu.data.dataset import WavSource
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    sr = 16000
+    root = tmp_path / "wavs"
+    root.mkdir()
+    lines = []
+    for i in range(4):
+        t = np.arange(2 * sr) / sr
+        write_wav(str(root / f"u{i}.wav"), 0.2 * np.sin(2 * np.pi * (250 + 20 * i) * t), sr)
+        lines.append(f"u{i} {i % 2} -1\n")
+    manifest = parse_train_manifest(lines)
+    tcfg = TrainConfig(window_size=1.0, batch_size=2, gradient_accumulation=2,
+                       transfer_dtype="bfloat16")
+    source = WavSource(str(root), FeatureConfig(), window_frames=100)
+    loader = TrainLoader(manifest, source, tcfg, DataConfig(), is_wave=True)
+    b = next(iter(loader.epoch(0)))
+    assert b["waves"].dtype == np.int16
+
+
 def test_random_slicing_wav_mode(tmp_path):
     """Device-DSP wav mode applies random slicing in the sample domain
     (reference truncates every training batch, train.py:205-207,217)."""

@@ -94,6 +94,81 @@ def test_cli_defaults_to_auto():
     assert make_parser().get_default("wav_mode") == "auto"
 
 
+def test_working_set_estimator(tmp_path):
+    from test_feature_cache import _make_wavs
+
+    from doubleattentionspeakerverification_tpu.data.feature_cache import (
+        estimate_feature_working_set_mb,
+    )
+
+    root = tmp_path / "wavs"
+    lines = _make_wavs(root)
+    paths = [ln.split()[0] for ln in lines]
+    import os
+
+    actual_mb = sum(
+        os.path.getsize(root / f"{p}.wav") for p in paths
+    ) / 1e6
+    est = estimate_feature_working_set_mb(str(root), paths)
+    # uniform sizes here, so the strided sample is near-exact
+    assert abs(est - actual_mb) / actual_mb < 0.05
+    assert estimate_feature_working_set_mb(str(root), []) == 0.0
+
+
+def test_trainer_demotes_thrashing_auto_cache(tmp_path, monkeypatch):
+    """Auto-selected cache whose budget can't hold the corpus falls back to
+    per-window host DSP (and says why) instead of LRU-thrashing full-
+    utterance DSP recomputes."""
+    import doubleattentionspeakerverification_tpu.data.feature_cache as fc_mod
+    from test_feature_cache import _make_wavs
+
+    from doubleattentionspeakerverification_tpu.config import (
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from doubleattentionspeakerverification_tpu.data.dataset import HostDspWavSource
+    from doubleattentionspeakerverification_tpu.training.trainer import Trainer
+
+    monkeypatch.setattr(config_mod, "_host_probe", lambda: (2, 10000.0))
+    # pretend the corpus is far bigger than the 2000 MB budget
+    monkeypatch.setattr(
+        fc_mod, "estimate_feature_working_set_mb", lambda d, p: 50000.0
+    )
+    root = tmp_path / "wavs"
+    lines = _make_wavs(root)
+    labels = tmp_path / "labels.ndx"
+    labels.write_text("".join(lines))
+
+    class _Rec:
+        def __init__(self):
+            self.events = []
+
+        def log(self, e, **f):
+            self.events.append((e, f))
+
+        def close(self):
+            pass
+
+    cfg = ExperimentConfig(
+        out_dir=str(tmp_path / "out"),
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16, num_spkrs=2),
+        train=TrainConfig(window_size=0.5, batch_size=2, gradient_accumulation=1),
+        data=DataConfig(
+            train_data_dir=str(root),
+            train_labels_path=str(labels),
+            source="wav",
+            wav_mode="auto",
+        ),
+    )
+    rec = _Rec()
+    trainer = Trainer(cfg, logger=rec)
+    assert isinstance(trainer.loader.source, HostDspWavSource)
+    decisions = [f for e, f in rec.events if e == "source_mode"]
+    assert decisions[0]["mode"] == "wav_host_dsp"
+    assert "demoted" in decisions[0]["reason"]
+
+
 def test_trainer_auto_selects_cached_source(tmp_path, monkeypatch):
     """End to end: plain wav source + auto on a RAM-rich host builds the
     compute-once cached source with the probe's budget, and logs why."""

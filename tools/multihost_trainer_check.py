@@ -231,12 +231,17 @@ def scenario_C(root: str) -> None:
     print("[C] cross-process model-parallel sharding + checkpoint lifecycle")
     resumed_out = os.path.join(root, "C_resumed")
     full_out = os.path.join(root, "C_full")
-    args = dict(model_parallel=2, validate_every=0)
+    # validation ON: multi-host validate() all-gathers the cross-process W
+    # shards (parallel/mesh.py:host_local_tree, process_allgather branch) —
+    # this is the only place that path runs with truly remote shards
+    args = dict(model_parallel=2, validate_every=2)
     _launch_multi(2, 1, train_argv(root, resumed_out, 1, False, **args))
     _launch_multi(2, 1, train_argv(root, resumed_out, 2, True, **args))
     _launch_multi(2, 1, train_argv(root, full_out, 2, False, **args))
     _assert_close("losses", _losses(_events(resumed_out)),
                   _losses(_events(full_out)))
+    _assert_close("EERs", _eers(_events(resumed_out)),
+                  _eers(_events(full_out)), tol=0.51)
 
 
 def orchestrate(which: str = "ABC") -> int:
