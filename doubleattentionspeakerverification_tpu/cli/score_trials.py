@@ -102,7 +102,9 @@ def main(argv=None) -> int:
     if args.load_embeddings:
         from ..evaluation.embeddings import load_embeddings
 
-        extractor.cache.update(load_embeddings(args.load_embeddings))
+        extractor.cache.update(
+            load_embeddings(args.load_embeddings, expect_quantize=args.quantize)
+        )
 
     # AS-Norm cohort (optional): embeddings from a precomputed store and/or
     # an id list embedded through the same extractor (so cohort utterances
@@ -113,7 +115,11 @@ def main(argv=None) -> int:
         if args.cohort_embeddings:
             from ..evaluation.embeddings import load_embeddings
 
-            rows.extend(load_embeddings(args.cohort_embeddings).values())
+            rows.extend(
+                load_embeddings(
+                    args.cohort_embeddings, expect_quantize=args.quantize
+                ).values()
+            )
         if args.cohort:
             with open(args.cohort) as f:
                 ids = [ln.strip().split()[0] for ln in f if ln.strip()]
@@ -183,7 +189,8 @@ def main(argv=None) -> int:
         if args.save_embeddings:
             from ..evaluation.embeddings import save_embeddings
 
-            save_embeddings(args.save_embeddings, extractor.cache)
+            save_embeddings(args.save_embeddings, extractor.cache,
+                            quantize=args.quantize)
             summary["embeddings_saved"] = len(extractor.cache)
         print(" ".join(f"{k}={v}" for k, v in summary.items()), file=sys.stderr)
     finally:

@@ -273,7 +273,15 @@ class DataConfig:
         if self.train_feature_cache_mb > 0:
             return self.train_feature_cache_mb
         if self.source_mode() == "wav_cache" and not self.train_feature_cache_dir:
-            return auto_wav_mode()[1] or 512.0
+            budget = auto_wav_mode()[1]
+            if budget > 0:
+                return budget
+            # 'cache' forced by NAME on a host whose probe declined it (low
+            # free RAM -> probe cache_mb 0): size from local MemAvailable
+            # instead of a flat 512 MB, so the RAM-starved host is the one
+            # host that does NOT get the big default
+            avail_mb = _host_probe()[1]
+            return float(min(512.0, max(64.0, avail_mb * 0.2))) if avail_mb > 0 else 64.0
         return 0.0
 
     def step_sees_waves(self) -> bool:
@@ -286,7 +294,16 @@ class DataConfig:
 def _host_probe() -> Tuple[int, float]:
     """(cpu_count, MemAvailable_mb) — memoized so every consumer of the auto
     wav-mode decision (loader, kernel resolver, logs) sees the same facts
-    even as free RAM drifts during the run."""
+    even as free RAM drifts during the run.
+
+    ``DMHA_HOST_PROBE=<cpus>,<avail_mb>`` overrides the measurement — for
+    tests that need a deterministic probe (e.g. simulating heterogeneous
+    hosts in the 2-process wav-mode scenarios) and for operators who want to
+    pin the decision basis regardless of the moment-of-launch RAM reading."""
+    override = os.environ.get("DMHA_HOST_PROBE")
+    if override:
+        c, m = override.split(",")
+        return int(c), float(m)
     cpus = os.cpu_count() or 1
     avail_mb = 0.0
     try:
@@ -332,8 +349,29 @@ def _auto_wav_mode_from(cpus: int, avail_mb: float) -> Tuple[str, float, str]:
     )
 
 
+_AUTO_WAV_MODE_PIN: Optional[Tuple[str, float, str]] = None
+
+
+def pin_auto_wav_mode(mode: str, cache_mb: float, reason: str) -> None:
+    """Override the host-local probe process-wide.
+
+    Multi-host training pins every host to the COORDINATOR's (mode,
+    cache budget): the auto decision changes the step input modality and the
+    cache behavior, and hosts with heterogeneous cores/RAM must not diverge
+    (the budget feeds the deterministic cache-demotion compare in
+    ``Trainer._load_data``, so it must be identical everywhere, not just the
+    mode). Every consumer — loader, kernel resolver,
+    ``effective_train_cache_mb``, logs — reads the pinned value afterwards.
+    """
+    global _AUTO_WAV_MODE_PIN
+    _AUTO_WAV_MODE_PIN = (mode, float(cache_mb), reason)
+
+
 def auto_wav_mode() -> Tuple[str, float, str]:
-    """The memoized auto decision for this host: (mode, cache_mb, reason)."""
+    """The memoized auto decision for this host: (mode, cache_mb, reason).
+    A coordinator pin (``pin_auto_wav_mode``) takes precedence."""
+    if _AUTO_WAV_MODE_PIN is not None:
+        return _AUTO_WAV_MODE_PIN
     return _auto_wav_mode_from(*_host_probe())
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 import pickle
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -212,24 +212,50 @@ class EmbeddingExtractor:
         return self.cache
 
 
-def save_embeddings(path: str, embeddings: Dict[str, np.ndarray]) -> None:
+def save_embeddings(
+    path: str, embeddings: Dict[str, np.ndarray], quantize: str = "none"
+) -> None:
     """Persist an utterance->embedding map (.npz: id array + row matrix).
 
     Utterance ids may contain characters that are not valid npz member names
     (slashes, dashes), so ids are stored as one unicode array aligned with
     the embedding matrix rows rather than as per-key members.
+
+    ``quantize`` tags which model path produced the rows ('none' = fp,
+    'int8' = quantized encoder): int8 embeddings cosine-drift ~1e-3 from fp,
+    so mixing the two in one parity EER must not happen silently —
+    :func:`load_embeddings` warns when the tag disagrees with the consumer.
     """
     ids = sorted(embeddings)
     np.savez_compressed(
         path,
         ids=np.asarray(ids, dtype=np.str_),
         embeddings=np.stack([embeddings[u] for u in ids]).astype(np.float32),
+        quantize=np.asarray(quantize),
     )
 
 
-def load_embeddings(path: str) -> Dict[str, np.ndarray]:
+def load_embeddings(
+    path: str, expect_quantize: Optional[str] = None
+) -> Dict[str, np.ndarray]:
+    """Load a :func:`save_embeddings` store.
+
+    ``expect_quantize`` is the quantize mode of the run consuming the store;
+    when given and it disagrees with the store's tag, a warning is emitted
+    (stores predating the tag read as 'none')."""
     with np.load(path, allow_pickle=False) as z:
         ids, embs = z["ids"], z["embeddings"]
+        stored = str(z["quantize"]) if "quantize" in z.files else "none"
+    if expect_quantize is not None and stored != expect_quantize:
+        import warnings
+
+        warnings.warn(
+            f"embedding store {path!r} was written by a quantize={stored!r} "
+            f"run but is being consumed by a quantize={expect_quantize!r} "
+            "run; int8 and fp embeddings cosine-drift ~1e-3 — do not mix "
+            "them in parity EERs",
+            stacklevel=2,
+        )
     return {str(u): embs[i] for i, u in enumerate(ids)}
 
 

@@ -85,19 +85,32 @@ class Trainer:
             # The auto decision changes the STEP INPUT MODALITY (PCM vs
             # features) and therefore the compiled program — hosts with
             # heterogeneous cores/RAM must not diverge. Pin every host to
-            # process 0's choice.
+            # process 0's choice: the MODE and the CACHE BUDGET both (the
+            # budget feeds effective_train_cache_mb() and the cache-demotion
+            # compare below; per-host RAM probes would hand hosts different
+            # budgets and one host could demote while another does not —
+            # silently divergent training features).
             import dataclasses as _dc
 
             from jax.experimental import multihost_utils
 
-            from ..config import auto_wav_mode
+            from ..config import auto_wav_mode, pin_auto_wav_mode
 
             modes = ("pcm", "host_dsp", "cache")
-            code = multihost_utils.broadcast_one_to_all(
-                np.int32(modes.index(auto_wav_mode()[0]))
+            local_mode, local_mb, _ = auto_wav_mode()
+            decision = multihost_utils.broadcast_one_to_all(
+                np.asarray(
+                    [float(modes.index(local_mode)), local_mb], np.float64
+                )
+            )
+            mode, cache_mb = modes[int(decision[0])], float(decision[1])
+            pin_auto_wav_mode(
+                mode, cache_mb,
+                f"coordinator broadcast: process 0 chose '{mode}' "
+                f"({cache_mb:.0f} MB cache budget)",
             )
             cfg = _dc.replace(
-                cfg, data=_dc.replace(cfg.data, wav_mode=modes[int(code)])
+                cfg, data=_dc.replace(cfg.data, wav_mode=mode)
             )
             self.cfg = cfg
 
@@ -207,7 +220,19 @@ class Trainer:
             est_mb = estimate_feature_working_set_mb(
                 cfg.data.train_data_dir, [u.path for u in manifest]
             )
-            if est_mb > 1.2 * budget_mb:
+            demote = est_mb > 1.2 * budget_mb
+            if self.num_hosts > 1:
+                # budget is coordinator-pinned and the estimate is a
+                # deterministic function of the (identical) manifest, but the
+                # strided file-size sample reads each host's local stat() —
+                # make the decision unconditionally identical by broadcasting
+                # process 0's verdict
+                from jax.experimental import multihost_utils
+
+                demote = bool(
+                    multihost_utils.broadcast_one_to_all(np.int32(demote))
+                )
+            if demote:
                 mode = "wav_host_dsp"
                 reason = (
                     f"auto cache demoted to host DSP: estimated feature "
@@ -223,7 +248,13 @@ class Trainer:
                 "source_mode",
                 mode=mode,
                 wav_mode=cfg.data.wav_mode,
-                cache_mb=cfg.data.effective_train_cache_mb(),
+                # only the cache mode runs with a budget; after a demotion
+                # the flags still resolve wav_cache, so report the budget of
+                # the mode actually RUNNING, not of the one demoted away from
+                cache_mb=(
+                    cfg.data.effective_train_cache_mb()
+                    if mode == "wav_cache" else 0.0
+                ),
                 reason=reason,
             )
         if mode == "wav_cache":

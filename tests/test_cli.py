@@ -441,3 +441,43 @@ def test_score_trials_embedding_store(tmp_path):
         "--load_embeddings", store,
     ]) == 0
     assert open(out1).read() == open(out2).read()
+
+
+def test_embedding_store_quantize_tag(tmp_path):
+    """The store records which model path produced it; consuming it from a
+    run with a different quantize mode warns (int8 vs fp embeddings drift
+    ~1e-3 cosine and must not silently mix in parity EERs)."""
+    import warnings
+
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        load_embeddings,
+        save_embeddings,
+    )
+
+    emb = {"a": np.ones((8,), np.float32)}
+    fp_store = str(tmp_path / "fp.npz")
+    q_store = str(tmp_path / "q.npz")
+    save_embeddings(fp_store, emb)                      # default tag: none
+    save_embeddings(q_store, emb, quantize="int8")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")                  # no warning allowed
+        assert set(load_embeddings(fp_store, expect_quantize="none")) == {"a"}
+        assert set(load_embeddings(q_store, expect_quantize="int8")) == {"a"}
+        assert set(load_embeddings(q_store)) == {"a"}   # no expectation given
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_embeddings(q_store, expect_quantize="none")
+        load_embeddings(fp_store, expect_quantize="int8")
+    assert len(w) == 2 and all("quantize" in str(x.message) for x in w)
+
+    # stores predating the tag read as fp
+    ids = np.asarray(["a"], dtype=np.str_)
+    np.savez(str(tmp_path / "old.npz"), ids=ids,
+             embeddings=np.ones((1, 8), np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_embeddings(str(tmp_path / "old.npz"), expect_quantize="none")
+        assert not w
+        load_embeddings(str(tmp_path / "old.npz"), expect_quantize="int8")
+        assert len(w) == 1

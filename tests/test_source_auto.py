@@ -71,8 +71,35 @@ class TestSourceModeResolution:
     def test_named_cache_without_budget_gets_default(self, monkeypatch):
         monkeypatch.setattr(config_mod, "_host_probe", lambda: (4, 100.0))
         d = DataConfig(source="wav", wav_mode="cache")
-        # probe offers no budget (low RAM) -> floor default
-        assert d.effective_train_cache_mb() == 512.0
+        # probe offers no budget (low RAM): the fallback must scale with the
+        # RAM that host actually has, not hand the starved host a flat 512 MB
+        assert d.effective_train_cache_mb() == 64.0
+        monkeypatch.setattr(config_mod, "_host_probe", lambda: (4, 1000.0))
+        assert d.effective_train_cache_mb() == 200.0
+        monkeypatch.setattr(config_mod, "_host_probe", lambda: (4, 0.0))
+        assert d.effective_train_cache_mb() == 64.0
+
+    def test_pin_overrides_local_probe(self, monkeypatch):
+        # multi-host: the coordinator broadcast pins (mode, budget) for every
+        # consumer, regardless of what this host's own probe would say
+        monkeypatch.setattr(config_mod, "_host_probe", lambda: (2, 100.0))
+        d = DataConfig(source="wav", wav_mode="auto")
+        assert d.source_mode() == "wav_host_dsp"
+        config_mod.pin_auto_wav_mode("cache", 777.0, "coordinator broadcast")
+        try:
+            assert d.source_mode() == "wav_cache"
+            assert d.effective_train_cache_mb() == 777.0
+            assert config_mod.auto_wav_mode()[2] == "coordinator broadcast"
+        finally:
+            config_mod._AUTO_WAV_MODE_PIN = None
+
+    def test_host_probe_env_override(self, monkeypatch):
+        monkeypatch.setenv("DMHA_HOST_PROBE", "3,4321.5")
+        config_mod._host_probe.cache_clear()
+        try:
+            assert config_mod._host_probe() == (3, 4321.5)
+        finally:
+            config_mod._host_probe.cache_clear()
 
     def test_non_wav_source_unaffected(self):
         d = DataConfig(source="features", wav_mode="auto")
@@ -167,6 +194,8 @@ def test_trainer_demotes_thrashing_auto_cache(tmp_path, monkeypatch):
     decisions = [f for e, f in rec.events if e == "source_mode"]
     assert decisions[0]["mode"] == "wav_host_dsp"
     assert "demoted" in decisions[0]["reason"]
+    # a demoted run uses no cache: the log must not claim a budget
+    assert decisions[0]["cache_mb"] == 0.0
 
 
 def test_trainer_auto_selects_cached_source(tmp_path, monkeypatch):
