@@ -71,6 +71,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             profile_start_step=params.profile_start_step,
             profile_steps=params.profile_steps,
             async_validation=not params.sync_validation,
+            shard_validation=params.shard_validation,
             post_step_bench=params.post_step_bench,
             specaugment=params.specaugment,
             specaugment_time_masks=params.specaugment_time_masks,
@@ -237,6 +238,13 @@ def make_parser() -> argparse.ArgumentParser:
                         help="host:port of process 0 (multi-host)")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--shard_validation", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="multi-host: partition the validation utterance "
+                             "set across processes (each host embeds only its "
+                             "shard; embeddings all-gathered; identical EER "
+                             "everywhere). --no-shard_validation = every host "
+                             "embeds the full set. Ignored single-host")
     parser.add_argument("--sync_validation", action="store_true",
                         help="run EER validation serially (reference behavior); "
                         "default overlaps it with training in a background "

@@ -176,6 +176,13 @@ class TrainConfig:
     # before LR-halving / early-stop checks. Forced off on multi-host runs
     # (two threads issuing collectives can deadlock across hosts).
     async_validation: bool = True
+    # Multi-host runs: partition the validation utterance set across
+    # processes (each host embeds only its shard, embeddings all-gathered,
+    # every host computes the identical EER) — per-host validation compute
+    # and feature IO drop O(num_hosts). Off = every host redundantly embeds
+    # the full set (the pre-r4 behavior; results are bit-identical either
+    # way). Ignored single-host.
+    shard_validation: bool = True
     # After training, chain this many jitted steps on a device-resident copy
     # of the last batch and log a `step_bench` event (ms/step, two-point
     # latency-corrected). Gives the isolated-step ceiling OF THIS SESSION —

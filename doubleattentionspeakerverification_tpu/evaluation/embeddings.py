@@ -158,6 +158,7 @@ class EmbeddingExtractor:
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
         self.cache: Dict[str, np.ndarray] = {}
+        self.n_embedded = 0  # utterances run through the model (not cache hits)
         self.num_workers = max(1, num_workers)
         # embed_fn may be shared across extractors so XLA compilations for
         # each bucket shape are reused across validation rounds
@@ -205,11 +206,62 @@ class EmbeddingExtractor:
                     lengths = jax.device_put(lengths, self._len_sharding)
                 # async dispatch: don't block on the result here
                 pending.append((chunk, self._embed(self.params, self.state, x, lengths)))
+                self.n_embedded += len(chunk)
         for chunk, emb in pending:
             emb = np.asarray(emb)
             for j, u in enumerate(chunk):
                 self.cache[u] = emb[j]
         return self.cache
+
+
+def sharded_extract(
+    extractor: "EmbeddingExtractor",
+    utt_ids: Sequence[str],
+    host_id: int,
+    num_hosts: int,
+) -> int:
+    """Multi-host extraction: each process embeds only ITS shard of the
+    utterance set, then the embedding matrices are all-gathered so every
+    process ends with the identical full cache.
+
+    The reference validates serially on one device (batch-of-1 forwards,
+    ``train.py:107-133``); the single-host redesign batches that, and this
+    shards the workload over processes — per-host validation wall-clock and
+    feature IO drop O(num_hosts) at production trial-list sizes.
+
+    Determinism contract: the shard assignment is a pure function of the
+    sorted unique utterance set (strided: host h takes ``utts[h::n]``), and
+    per-utterance embeddings are batch-composition-invariant (each batch row
+    computes independently; the bucketed pad length depends only on the
+    utterance's own frame count), so the gathered cache is bit-identical to
+    what unsharded extraction would produce.
+
+    COLLECTIVE: every process must call this at the same point with the same
+    ``utt_ids`` (the Trainer serializes multi-host validation). Returns this
+    host's shard size.
+    """
+    utts = sorted(set(utt_ids))
+    todo = [u for u in utts if u not in extractor.cache]
+    if not todo:  # caches are gathered identically -> same verdict everywhere
+        return 0
+    from jax.experimental import multihost_utils
+
+    shards = [todo[h::num_hosts] for h in range(num_hosts)]
+    local = shards[host_id]
+    extractor.extract(local)
+    emb_dim = (
+        next(iter(extractor.cache.values())).shape[0]
+        if extractor.cache else extractor.cfg.embedding_size
+    )
+    n_max = max(len(s) for s in shards)
+    buf = np.zeros((n_max, emb_dim), np.float32)
+    for i, u in enumerate(local):
+        buf[i] = extractor.cache[u]
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    for h, shard in enumerate(shards):
+        for i, u in enumerate(shard):
+            extractor.cache[u] = gathered[h, i]
+    return len(local)
 
 
 def save_embeddings(

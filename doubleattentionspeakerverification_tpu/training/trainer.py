@@ -353,6 +353,24 @@ class Trainer:
         )
         clients = load_trials(cfg.data.valid_clients)
         impostors = load_trials(cfg.data.valid_impostors)
+        if self.num_hosts > 1 and cfg.train.shard_validation:
+            # each host embeds only its utterance shard; the all-gathered
+            # cache is bit-identical to unsharded extraction, so the EER
+            # below stays in lockstep across hosts (docs/SCALING.md). The
+            # gather is a collective — safe here because multi-host
+            # validation is serial and runs at the same step on every host.
+            from ..evaluation.embeddings import sharded_extract
+
+            utts = [u for pair in (*clients, *impostors) for u in pair]
+            n_local = sharded_extract(
+                extractor, utts, self.host_id, self.num_hosts
+            )
+            self.log.log(
+                "validate_shard",
+                n_total=len(set(utts)),
+                n_local=n_local,
+                n_embedded=extractor.n_embedded,
+            )
         result = validate_eer(extractor, clients, impostors)
         result["elapsed_s"] = time.time() - t0
         return result

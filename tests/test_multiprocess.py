@@ -26,7 +26,7 @@ def test_two_process_training_matches_single():
     assert "MATCH" in result.stdout
 
 
-@pytest.mark.parametrize("scenario", ["A", "B", "C"])
+@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S"])
 def test_production_trainer_multihost(scenario):
     """The REAL Trainer + train CLI across 2 jax.distributed processes
     (tools/multihost_trainer_check.py):
@@ -36,7 +36,15 @@ def test_production_trainer_multihost(scenario):
        reduction rounding stays sub-tolerance);
     B: Orbax checkpoint -> fresh processes -> --requeue resume continues
        the loss stream of an uninterrupted run exactly;
-    C: same lifecycle with the AM-Softmax W sharded ACROSS processes.
+    C: same lifecycle with the AM-Softmax W sharded ACROSS processes;
+    D: sharded EER validation == unsharded bit-for-bit, per-host forward
+       count halved;
+    W: wav auto mode with heterogeneous host probes: coordinator pin +
+       2-process loss parity vs single-process;
+    X: auto-cache demotion decided identically on every host
+       (coordinator-broadcast verdict);
+    S: Adam (production default) cross-topology statistical equivalence:
+       topology noise << seed noise, final EERs agree.
     """
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     result = subprocess.run(

@@ -16,7 +16,21 @@ and verifies against single-process runs:
      2-process run (Orbax restored every shard losslessly);
   C. cross-process model sharding: the same lifecycle with the AM-Softmax W
      sharded over a 'model' axis that SPANS the two processes
-     (``--model_parallel 2``, one device per process).
+     (``--model_parallel 2``, one device per process);
+  D. sharded EER validation: each host embeds only its utterance shard
+     (embeddings all-gathered) — EER stream bit-identical to the
+     all-hosts-embed-everything run, per-host forward count halved;
+  W. wav auto mode across processes: hosts with DIFFERENT probe results
+     (simulated via DMHA_HOST_PROBE) are pinned to the coordinator's
+     mode+budget, and the 2-process wav loss stream matches single-process;
+  X. deterministic cache demotion: both hosts demote auto-cache to host
+     DSP identically (coordinator-broadcast verdict) when the corpus
+     working set exceeds the pinned budget;
+  S. Adam cross-topology statistical equivalence: 2-process Adam (the
+     production default) tracks the same-seed single-process trajectory far
+     closer than a seed change moves it, with early steps tight and final
+     EERs agreeing (the only divergence source is +-lr sign flips of
+     near-zero gradients under reduction-order rounding).
 
 The reference's only parallelism is single-node DataParallel
 (``scripts/train.py:68-70``); none of this exists there.
@@ -74,26 +88,83 @@ def make_corpus(root: str) -> None:
         f.writelines(f"{names[0][i]} {names[1][i]}\n" for i in range(2))
 
 
+def make_wav_corpus(root: str, dirname: str = "wavs",
+                    seconds: float = 1.2) -> None:
+    """Class-separable synthetic PCM16 wav corpus (speaker-specific tone +
+    noise) sharing labels/trials ids with the feature corpus layout."""
+    from doubleattentionspeakerverification_tpu.data.wav import write_wav
+
+    wav_dir = os.path.join(root, dirname)
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    labels, names = [], {}
+    for s in range(N_SPK):
+        for u in range(PER_SPK):
+            name = f"spk{s}_u{u}"
+            y = 0.3 * np.sin(2 * np.pi * (180 + 120 * s) * t)
+            y = (y + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+            write_wav(os.path.join(wav_dir, f"{name}.wav"), y, sr)
+            labels.append(f"{name} {s} -1\n")
+            names.setdefault(s, []).append(name)
+    with open(os.path.join(root, "labels.ndx"), "w") as f:
+        f.writelines(labels)
+    with open(os.path.join(root, "clients.ndx"), "w") as f:
+        f.writelines(f"{v[0]} {v[1]}\n" for v in names.values())
+    with open(os.path.join(root, "impostors.ndx"), "w") as f:
+        f.writelines(f"{names[0][i]} {names[1][i]}\n" for i in range(2))
+
+
+def make_sparse_wav_corpus(root: str, dirname: str = "bigwavs",
+                           n_files: int = 16, mb_each: float = 24.0) -> None:
+    """Wav files whose APPARENT size is huge but which occupy ~no disk
+    (sparse): drives the cache-demotion estimate (file-size based,
+    ``data/feature_cache.py:estimate_feature_working_set_mb``) far past any
+    test-sized budget while staying cheap to read (holes read as zeros)."""
+    import struct
+
+    wav_dir = os.path.join(root, dirname)
+    os.makedirs(wav_dir, exist_ok=True)
+    sr = 16000
+    data_bytes = int(mb_each * 1e6) & ~1
+    labels = []
+    for i in range(n_files):
+        name = f"big{i}"
+        hdr = b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        hdr += b"data" + struct.pack("<I", data_bytes)
+        with open(os.path.join(wav_dir, f"{name}.wav"), "wb") as f:
+            f.write(hdr)
+            f.truncate(44 + data_bytes)
+        labels.append(f"{name} {i % N_SPK} -1\n")
+    with open(os.path.join(root, "biglabels.ndx"), "w") as f:
+        f.writelines(labels)
+
+
 def train_argv(root: str, out_dir: str, max_epochs: int, requeue: bool,
                model_parallel: int = 1, validate_every: int = 2,
-               optimizer: str = "Adam") -> list:
+               optimizer: str = "Adam", data_dir: str = "feats",
+               data_source: str = "features", seed: int = 1234,
+               batch: int = BATCH, extra: list = ()) -> list:
     argv = [
         "--optimizer", optimizer,
-        "--train_data_dir", os.path.join(root, "feats"),
-        "--valid_data_dir", os.path.join(root, "feats"),
+        "--train_data_dir", os.path.join(root, data_dir),
+        "--valid_data_dir", os.path.join(root, data_dir),
         "--train_labels_path", os.path.join(root, "labels.ndx"),
         "--valid_clients", os.path.join(root, "clients.ndx"),
         "--valid_impostors", os.path.join(root, "impostors.ndx"),
         "--out_dir", out_dir, "--model_name", "mh",
         "--front_end", "VGG4L", "--kernel_size", "16", "--heads_number", "4",
         "--embedding_size", "32", "--window_size", "0.8",
-        "--batch_size", str(BATCH), "--gradientAccumulation", str(ACCUM),
+        "--batch_size", str(batch), "--gradientAccumulation", str(ACCUM),
         "--learning_rate", "2e-3", "--max_epochs", str(max_epochs),
         "--print_every", "1", "--validate_every", str(validate_every),
         "--checkpoint_every", "1", "--checkpoint_backend", "orbax",
         "--sync_validation", "--num_workers", "1",
         "--model_parallel", str(model_parallel),
-    ]
+        "--data_source", data_source, "--seed", str(seed),
+    ] + list(extra)
     if requeue:
         argv.append("--requeue")
     return argv
@@ -135,15 +206,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_multi(nprocs: int, local_devices: int, argv: list) -> None:
+def _launch_multi(nprocs: int, local_devices: int, argv: list,
+                  env_per_proc=None) -> None:
+    """``env_per_proc``: optional list of per-process env-var dicts — used to
+    simulate HETEROGENEOUS hosts (e.g. different DMHA_HOST_PROBE readings)."""
     port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    base = {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", str(i),
              str(nprocs), str(port), str(local_devices)] + argv,
-            env=env,
+            env={**base, **(env_per_proc[i] if env_per_proc else {})},
             stdout=subprocess.DEVNULL if i else None,
             stderr=subprocess.STDOUT if i else None,
         )
@@ -154,13 +228,13 @@ def _launch_multi(nprocs: int, local_devices: int, argv: list) -> None:
         raise RuntimeError(f"multi-process workers failed: rcs={rcs}")
 
 
-def _launch_single(local_devices: int, argv: list) -> None:
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+def _launch_single(local_devices: int, argv: list, env=None) -> None:
+    base = {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     rc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "single",
          str(local_devices)] + argv,
-        env=env, timeout=900,
+        env={**base, **(env or {})}, timeout=900,
     ).returncode
     if rc:
         raise RuntimeError(f"single-process run failed: rc={rc}")
@@ -244,11 +318,137 @@ def scenario_C(root: str) -> None:
                   _eers(_events(full_out)), tol=0.51)
 
 
-def orchestrate(which: str = "ABC") -> int:
+def scenario_D(root: str) -> None:
+    """Sharded multi-host EER validation (each host embeds only its shard of
+    the unique-utterance set; embeddings all-gathered) produces the
+    bit-identical EER stream of the all-hosts-embed-everything run, at half
+    the per-host forward count. Replaces the reference's serial batch-of-1
+    validation (``train.py:107-133``) at pod scale."""
+    print("[D] sharded vs unsharded multi-host EER validation")
+    shard_out = os.path.join(root, "D_shard")
+    full_out = os.path.join(root, "D_full")
+    _launch_multi(2, 2, train_argv(root, shard_out, 2, False))
+    _launch_multi(2, 2, train_argv(root, full_out, 2, False,
+                                   extra=["--no-shard_validation"]))
+    se, fe = _events(shard_out), _events(full_out)
+    # identical topology + seed -> identical params at each validation ->
+    # the sharded gather must reproduce the unsharded EERs EXACTLY
+    _assert_close("EERs (bit-identical)", _eers(se), _eers(fe), tol=0.0)
+    _assert_close("losses", _losses(se), _losses(fe), tol=0.0)
+    shard_events = [e for e in se if e["event"] == "validate_shard"]
+    assert shard_events, "sharded run logged no validate_shard events"
+    for ev in shard_events:
+        n_total, n_local = ev["n_total"], ev["n_local"]
+        assert n_local == -(-n_total // 2), (
+            f"host 0 shard {n_local} != ceil({n_total}/2)")
+        assert ev["n_embedded"] == n_local, (
+            f"host 0 ran {ev['n_embedded']} forwards for a {n_local}-utt shard")
+    assert not [e for e in fe if e["event"] == "validate_shard"], (
+        "--no-shard_validation run still sharded")
+    print(f"  per-host forwards halved: {shard_events[0]['n_local']}"
+          f"/{shard_events[0]['n_total']} per validation round")
+
+
+def scenario_W(root: str) -> None:
+    """2-process ``--data_source wav`` with HETEROGENEOUS host probes: the
+    coordinator broadcast pins both hosts to process 0's mode+budget
+    (trainer.py), and the wav loss stream matches single-process. Host 1's
+    probe (low RAM) would pick per-window host DSP — full-utterance-CMN
+    cache features on host 0 vs window-CMN features on host 1 would diverge
+    O(1) in the loss stream if the pin failed."""
+    print("[W] 2-process wav auto mode: coordinator pin + loss parity")
+    make_wav_corpus(root)
+    single_out = os.path.join(root, "W_single")
+    multi_out = os.path.join(root, "W_multi")
+    rich = {"DMHA_HOST_PROBE": "2,10000"}   # -> cache, 2000 MB budget
+    poor = {"DMHA_HOST_PROBE": "2,500"}     # -> host_dsp if not pinned
+    args = dict(optimizer="SGD", data_dir="wavs", data_source="wav")
+    _launch_single(4, train_argv(root, single_out, 2, False, **args), env=rich)
+    _launch_multi(2, 2, train_argv(root, multi_out, 2, False, **args),
+                  env_per_proc=[rich, poor])
+    se, me = _events(single_out), _events(multi_out)
+    _assert_close("losses", _losses(se), _losses(me), tol=1e-3)
+    _assert_close("EERs", _eers(se), _eers(me), tol=0.51)
+    modes = [e for e in me if e["event"] == "source_mode"]
+    assert modes and modes[0]["mode"] == "wav_cache", modes
+    assert modes[0]["cache_mb"] == 2000.0, modes  # process 0's budget, pinned
+    assert "coordinator broadcast" in modes[0]["reason"], modes
+
+
+def scenario_X(root: str) -> None:
+    """Deterministic multi-host cache demotion: an auto-chosen cache whose
+    pinned budget can't hold the corpus demotes BOTH hosts to host DSP (the
+    verdict is broadcast from process 0), and training proceeds with the
+    same loss stream as single-process."""
+    print("[X] 2-process deterministic auto-cache demotion")
+    make_sparse_wav_corpus(root)  # ~384 MB apparent vs 256 MB pinned budget
+    single_out = os.path.join(root, "X_single")
+    multi_out = os.path.join(root, "X_multi")
+    probe = {"DMHA_HOST_PROBE": "2,1280"}  # -> cache mode, 256 MB budget
+    args = dict(optimizer="SGD", data_dir="bigwavs", data_source="wav",
+                validate_every=0, batch=4,
+                extra=["--train_labels_path", os.path.join(root, "biglabels.ndx")])
+    _launch_single(4, train_argv(root, single_out, 2, False, **args), env=probe)
+    _launch_multi(2, 2, train_argv(root, multi_out, 2, False, **args),
+                  env_per_proc=[probe, probe])
+    se, me = _events(single_out), _events(multi_out)
+    _assert_close("losses", _losses(se), _losses(me), tol=1e-3)
+    for name, events in (("single", se), ("multi", me)):
+        modes = [e for e in events if e["event"] == "source_mode"]
+        assert modes and modes[0]["mode"] == "wav_host_dsp", (name, modes)
+        assert "demoted" in modes[0]["reason"], (name, modes)
+        assert modes[0]["cache_mb"] == 0.0, (name, modes)
+    print("  both topologies demoted to host DSP identically")
+
+
+def scenario_S(root: str) -> None:
+    """Adam (the production default) cross-topology statistical equivalence.
+
+    Adam's first-moment normalization turns reduction-order rounding of
+    near-zero gradients into +-lr parameter sign flips, so 2-process Adam
+    cannot match single-process bit-for-bit (scenario A's SGD rationale).
+    (Note Adam's FIRST update is already ~lr*sign(m) for every coordinate —
+    magnitude-normalized — so reduction rounding on any near-zero gradient
+    coordinate flips that parameter by 2*lr from step 1 on; there is no
+    "tight early phase" like SGD has. Only the pre-update first loss is
+    bit-comparable.) The statistical claim proven here: over K steps, the
+    2-process trajectory deviates from the same-seed single-process
+    trajectory FAR less than a seed change moves it (topology noise << seed
+    noise), the first (pre-update) loss matches tightly, and final EERs
+    agree."""
+    print("[S] Adam cross-topology statistical equivalence (12 steps)")
+    outs = {}
+    for tag, seed in (("s0", 1234), ("s1", 4321)):
+        outs[tag] = os.path.join(root, f"S_single_{tag}")
+        _launch_single(4, train_argv(root, outs[tag], 6, False,
+                                     validate_every=12, seed=seed))
+    multi_out = os.path.join(root, "S_multi")
+    _launch_multi(2, 2, train_argv(root, multi_out, 6, False,
+                                   validate_every=12, seed=1234))
+    l_s0 = [v for _, v in _losses(_events(outs["s0"]))]
+    l_s1 = [v for _, v in _losses(_events(outs["s1"]))]
+    l_mp = [v for _, v in _losses(_events(multi_out))]
+    assert len(l_s0) == len(l_s1) == len(l_mp) >= 12
+    dev_topology = float(np.mean(np.abs(np.array(l_mp) - np.array(l_s0))))
+    dev_seed = float(np.mean(np.abs(np.array(l_s1) - np.array(l_s0))))
+    print(f"  mean |dloss| topology={dev_topology:.5f} vs seed={dev_seed:.5f}")
+    assert dev_topology < 0.5 * dev_seed, (
+        f"2-process Adam deviates {dev_topology:.5f} from same-seed "
+        f"single-process, not clearly below seed-change noise {dev_seed:.5f}")
+    # the first loss is computed with the (identical) init params BEFORE any
+    # update: only all-reduce rounding of the loss scalar itself can differ
+    assert abs(l_mp[0] - l_s0[0]) < 1e-3, (l_mp[0], l_s0[0])
+    _assert_close("final EERs", _eers(_events(multi_out)),
+                  _eers(_events(outs["s0"])), tol=0.51)
+
+
+def orchestrate(which: str = "ABCDWXS") -> int:
     root = tempfile.mkdtemp(prefix="multihost_trainer_")
     make_corpus(root)
     for name in which:
-        {"A": scenario_A, "B": scenario_B, "C": scenario_C}[name](root)
+        {"A": scenario_A, "B": scenario_B, "C": scenario_C,
+         "D": scenario_D, "W": scenario_W, "X": scenario_X,
+         "S": scenario_S}[name](root)
     print("MATCH")
     return 0
 
@@ -260,5 +460,5 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "single":
         run_single(int(sys.argv[2]), sys.argv[3:])
     else:
-        which = sys.argv[1] if len(sys.argv) > 1 else "ABC"
+        which = sys.argv[1] if len(sys.argv) > 1 else "ABCDWXS"
         raise SystemExit(orchestrate(which))
