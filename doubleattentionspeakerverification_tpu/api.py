@@ -35,13 +35,17 @@ class SpeakerEmbeddingModel:
         self.cfg = cfg
         self.normalization = normalization
         self.quantize = quantize
-        if quantize == "int8":
-            # int8 conv stack (1.47x embed throughput measured on v5e,
-            # models/quantized.py): weights quantized once, activations
-            # dynamically per forward; tail stays fp
+        if quantize in ("int8", "int8_static"):
+            # int8 conv stack (models/quantized.py): weights quantized once,
+            # tail stays fp. 'int8' = dynamic per-forward activation scales;
+            # 'int8_static' additionally bakes one-batch-calibrated scales
+            # into a fully fused int8 program (first batch = calibration)
             from .models.quantized import make_int8_embed_fn
 
-            self._embed = make_int8_embed_fn(params, cfg.model)
+            self._embed = make_int8_embed_fn(
+                params, cfg.model,
+                scheme="static" if quantize == "int8_static" else "dynamic",
+            )
         elif quantize == "none":
             from .utils.kernel_auto import resolve_model_kernels
 

@@ -10,19 +10,34 @@ bf16 path (19,277 vs 13,107 audio-s/s on the 16x10 s bench workload,
 BENCH_r03 extras) — the conv MXU time drops ~6 ms -> ~2 ms while ~6 ms of
 quantize/mask/pool/tail elementwise remains in both.
 
-Scheme (standard, robust for cosine-scored embeddings):
-- weights: symmetric per-output-channel int8, quantized once at load time;
-- activations: symmetric per-tensor int8 with a *dynamic* scale
-  (``amax/127`` computed on device per conv input — no calibration pass,
-  no accuracy cliff on out-of-distribution inputs);
-- conv accumulates in int32 on the MXU, dequantizes to f32, adds the f32
-  bias; ReLU / masking / ceil-pool / pooling / FC tail stay in f32 — they
-  are bandwidth-trivial next to the convs.
+Two activation-quantization schemes:
 
-The pooling + FC tail is the exact fp path (``classifier.trunk_tail``), so
-quantization error enters only through the conv stack; embeddings cosine-
-match the fp model to ~1e-3, far below speaker-separation margins (tested
-in ``tests/test_quantized.py``).
+- ``dynamic`` (default, no calibration): symmetric per-tensor int8 with the
+  scale ``amax/127`` computed on device per conv input. Robust on
+  out-of-distribution inputs, but every conv pays a full-tensor amax
+  reduce + a separate quantize pass over HBM, and the global-scalar data
+  dependence stops XLA from fusing the quantize into the previous conv's
+  epilogue — the non-MXU chain ends up dominating the step (Amdahl: 1.47x
+  end-to-end out of a 2.9x raw MXU win, BENCH_r03).
+
+- ``static`` (one-batch calibration): per-conv activation scales are
+  measured once (``calibrate_int8_scales``) and BAKED into the compiled
+  program as constants. All inter-conv arithmetic folds into one fused
+  elementwise epilogue per conv — dequant, bias, ReLU, requantize for the
+  NEXT conv collapse to ``int8(round(relu(y_i32 * mult + bias)))`` with
+  host-precomputed per-channel ``mult = s_in * w_s / s_next`` — so each
+  intermediate activation is READ as int32 conv output and WRITTEN as int8
+  (4+1 bytes/elt vs the dynamic chain's ~9), with no reduce barrier.
+  Masking and the ceil max-pool run directly on int8 (requantize commutes
+  with max: monotone map; quantize(0)=0 keeps pad frames exact). ReLU'd
+  activations occasionally exceeding the calibrated range clip at 127 —
+  the cosine guard in tests/bench bounds the effect.
+
+Both schemes share: weights symmetric per-output-channel int8 (quantized
+once at load), conv accumulating in int32 on the MXU, and the exact fp
+pooling + FC tail (``classifier.trunk_tail``) — quantization error enters
+only through the conv stack. Embeddings cosine-match the fp model to
+~1e-3 (tested in ``tests/test_quantized.py``).
 """
 
 from __future__ import annotations
@@ -31,6 +46,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..ops.masked_ops import mask_time
@@ -102,19 +118,190 @@ def quantized_vgg_apply(
     return out, cur_len
 
 
-def make_int8_embed_fn(params, cfg: ModelConfig):
+def _conv_order(cfg: ModelConfig):
+    n_blocks = 3 if cfg.front_end == "VGG3L" else 4
+    return [f"conv{i + 1}{j}" for i in range(n_blocks) for j in (1, 2)]
+
+
+def collect_int8_amaxes(
+    qparams, x: jnp.ndarray, lengths: Optional[jnp.ndarray], cfg: ModelConfig
+) -> jnp.ndarray:
+    """Per-conv INPUT abs-maxes along the dynamic int8 forward (the
+    distribution static scales must cover). Mirrors ``quantized_vgg_apply``;
+    the duplicated amax expressions CSE with the dynamic path's own."""
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    n_blocks = 3 if cfg.front_end == "VGG3L" else 4
+    h = mask_time(x.astype(compute_dtype), lengths)[..., None]
+    cur_len = lengths
+    amaxes = []
+    for i in range(n_blocks):
+        for j in (1, 2):
+            amaxes.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+            h = jax.nn.relu(_conv3x3_int8(h, qparams[f"conv{i + 1}{j}"], compute_dtype))
+            h = mask_time(h, cur_len)
+        h = _ceil_maxpool2(h)
+        if cur_len is not None:
+            cur_len = -(-cur_len // 2)
+    return jnp.stack(amaxes)
+
+
+def calibrate_int8_scales(
+    qparams,
+    x: jnp.ndarray,
+    lengths: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    margin: float = 1.0,
+):
+    """One-batch calibration -> per-conv static activation scales
+    (``amax * margin / 127`` floats, baked into the static program).
+
+    The ceil max-pool between blocks preserves abs-max (max over windows of
+    relu'd values), so the post-ReLU amax of conv ``i`` IS the input amax of
+    conv ``i+1`` whether or not a pool sits between them."""
+    am = np.asarray(jax.jit(
+        lambda q, xx, ll: collect_int8_amaxes(q, xx, ll, cfg)
+    )(qparams, x, lengths))
+    return [max(float(a), 1e-12) * margin / 127.0 for a in am]
+
+
+def fold_static_scales(qparams, act_scales, cfg: ModelConfig):
+    """Host-side constant folding of the whole inter-conv chain: for conv i,
+    ``y_int8_next = round(relu(y_i32 * mult + bias))`` where
+    ``mult = s_in * w_s / s_next`` (per output channel) and
+    ``bias = b / s_next``; the LAST conv keeps ``s_next = 1`` (its epilogue
+    dequantizes to the fp tail instead of requantizing)."""
+    order = _conv_order(cfg)
+    assert len(act_scales) == len(order)
+    folded = {}
+    for k, name in enumerate(order):
+        qp = qparams[name]
+        s_in = jnp.float32(act_scales[k])
+        s_next = jnp.float32(act_scales[k + 1]) if k + 1 < len(order) else jnp.float32(1.0)
+        folded[name] = {
+            "w_q": qp["w_q"],
+            "mult": (s_in * qp["w_s"] / s_next).astype(jnp.float32),
+            "bias": (qp["b"] / s_next).astype(jnp.float32),
+        }
+    return folded
+
+
+def _mask_time_int8(q: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """int8 twin of ``ops.masked_ops.mask_time`` (whose 0.0 fill would
+    promote int8 to f32)."""
+    if lengths is None:
+        return q
+    mask = jnp.arange(q.shape[1])[None, :] < lengths[:, None]
+    return jnp.where(mask[:, :, None, None], q, jnp.zeros((), q.dtype))
+
+
+def _ceil_maxpool2_int8(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 ceil-mode pool (fp version inits with -inf, a float)."""
+    pads = [(0, 0)] + [(0, q.shape[d] % 2) for d in (1, 2)] + [(0, 0)]
+    return jax.lax.reduce_window(
+        q, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding=pads,
+    )
+
+
+def quantized_vgg_apply_static(
+    folded,
+    act_scale0: float,
+    x: jnp.ndarray,
+    lengths: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Static-scale int8 VGG forward: every intermediate activation lives as
+    int8 (one fused dequant+bias+ReLU+requantize epilogue per conv; mask and
+    ceil-pool applied to the int8 tensor — requantize commutes with max and
+    quantize(0)=0, so padded batches still match unpadded forwards)."""
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    n_blocks = 3 if cfg.front_end == "VGG3L" else 4
+    order = _conv_order(cfg)
+    h0 = mask_time(x.astype(jnp.float32), lengths)[..., None]
+    q = jnp.clip(jnp.round(h0 / act_scale0), -127, 127).astype(jnp.int8)
+    cur_len = lengths
+    k = 0
+    h = None
+    for i in range(n_blocks):
+        for j in (1, 2):
+            p = folded[order[k]]
+            y = jax.lax.conv_general_dilated(
+                q, p["w_q"], window_strides=(1, 1), padding="SAME",
+                dimension_numbers=_CONV_DN,
+                preferred_element_type=jnp.int32,
+            )
+            t = jax.nn.relu(y.astype(jnp.float32) * p["mult"] + p["bias"])
+            last = k == len(order) - 1
+            if last:
+                h = mask_time(t.astype(compute_dtype), cur_len)
+            else:
+                q = _mask_time_int8(
+                    jnp.clip(jnp.round(t), 0, 127).astype(jnp.int8), cur_len
+                )
+            k += 1
+        if k == len(order):
+            h = _ceil_maxpool2(h)
+        else:
+            q = _ceil_maxpool2_int8(q)
+        if cur_len is not None:
+            cur_len = -(-cur_len // 2)
+    b, t_, f, c = h.shape
+    out = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t_, c * f)
+    return out, cur_len
+
+
+def get_embedding_int8_static(
+    params, folded, act_scale0, state: ModelState, x, lengths, cfg: ModelConfig
+) -> jnp.ndarray:
+    enc, enc_len = quantized_vgg_apply_static(folded, act_scale0, x, lengths, cfg)
+    emb, _, _ = trunk_tail(params, state, enc, enc_len, cfg, train=False, rng=None)
+    return emb
+
+
+def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
+                       calibration_margin: float = 1.0):
     """The one place the int8 inference path is wired: quantizes the conv
-    weights once (closed over) and returns a jitted
+    weights once (closed over) and returns a
     ``(params, state, x, lengths) -> (B, emb)`` drop-in for the fp
     ``get_embedding`` — shared by ``api.SpeakerEmbeddingModel`` and the
-    ``score_trials`` CLI so their quantize schemes cannot diverge."""
+    ``score_trials`` CLI so their quantize schemes cannot diverge.
+
+    ``scheme='dynamic'``: jitted per-batch-scaled path (no calibration).
+    ``scheme='static'``: the FIRST batch runs the dynamic path and doubles
+    as the calibration batch (its amaxes become the baked scales); every
+    later call runs the fused static program. One extra compile, no
+    separate calibration API to misuse."""
     from ..utils.kernel_auto import resolve_model_kernels
 
     rcfg = resolve_model_kernels(cfg, need_dsp=False)
     qvgg = quantize_vgg(params["vgg"])
-    return jax.jit(
+    dynamic = jax.jit(
         lambda p, s, x, lens: get_embedding_int8(p, qvgg, s, x, lens, rcfg)
     )
+    if scheme == "dynamic":
+        return dynamic
+    if scheme != "static":
+        raise ValueError(f"unknown int8 scheme {scheme!r}")
+
+    box = {}
+
+    def embed(p, s, x, lens):
+        if "jit" not in box:
+            emb = dynamic(p, s, x, lens)
+            scales = calibrate_int8_scales(
+                qvgg, x, lens, rcfg, margin=calibration_margin
+            )
+            folded = fold_static_scales(qvgg, scales, rcfg)
+            box["jit"] = jax.jit(
+                lambda pp, ss, xx, ll: get_embedding_int8_static(
+                    pp, folded, scales[0], ss, xx, ll, rcfg
+                )
+            )
+            return emb
+        return box["jit"](p, s, x, lens)
+
+    return embed
 
 
 def get_embedding_int8(

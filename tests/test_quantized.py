@@ -9,9 +9,14 @@ from doubleattentionspeakerverification_tpu.models.classifier import (
     init_speaker_classifier,
 )
 from doubleattentionspeakerverification_tpu.models.quantized import (
+    calibrate_int8_scales,
+    fold_static_scales,
     get_embedding_int8,
+    get_embedding_int8_static,
+    make_int8_embed_fn,
     quantize_vgg,
     quantized_vgg_apply,
+    quantized_vgg_apply_static,
 )
 from doubleattentionspeakerverification_tpu.models.vgg import vgg_apply
 
@@ -90,6 +95,103 @@ def test_quantized_preserves_speaker_separation():
     assert abs(_cos(fp[0:1], fp[1:2])[0] - _cos(q[0:1], q[1:2])[0]) < 0.02
 
 
+def test_static_vgg_close_to_fp_and_dynamic():
+    """Calibrated static scales reproduce the dynamic path closely (on the
+    calibration batch the scales are near-identical; the static path's extra
+    error source is inter-conv int8 requantization)."""
+    cfg = _tiny_cfg()
+    params, _ = init_speaker_classifier(jax.random.PRNGKey(5), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 50, 80)).astype(np.float32)
+    lens = np.array([50, 37, 21], np.int32)
+
+    scales = calibrate_int8_scales(qvgg, x, lens, cfg)
+    assert len(scales) == 8 and all(s > 0 for s in scales)
+    folded = fold_static_scales(qvgg, scales, cfg)
+    out_s, len_s = quantized_vgg_apply_static(folded, scales[0], x, lens, cfg)
+    ref, ref_len = vgg_apply(params["vgg"], x, lens, cfg)
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(len_s))
+    ref, out_s = np.asarray(ref), np.asarray(out_s)
+    scale = np.abs(ref).max()
+    assert np.abs(ref - out_s).max() < 0.08 * scale, np.abs(ref - out_s).max() / scale
+
+
+def test_static_embedding_cosine_matches_fp():
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(6), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((4, 60, 80)).astype(np.float32)
+    lens = np.array([60, 60, 44, 30], np.int32)
+
+    scales = calibrate_int8_scales(qvgg, x, lens, cfg)
+    folded = fold_static_scales(qvgg, scales, cfg)
+    fp = np.asarray(get_embedding(params, state, x, lens, cfg))
+    st = np.asarray(
+        get_embedding_int8_static(params, folded, scales[0], state, x, lens, cfg)
+    )
+    assert (_cos(fp, st) > 0.98).all(), _cos(fp, st)
+    # and on a DIFFERENT batch than the calibration one (mild OOD: same
+    # distribution, new draws — occasional >amax activations clip at 127)
+    x2 = rng.standard_normal((4, 60, 80)).astype(np.float32)
+    fp2 = np.asarray(get_embedding(params, state, x2, lens, cfg))
+    st2 = np.asarray(
+        get_embedding_int8_static(params, folded, scales[0], state, x2, lens, cfg)
+    )
+    assert (_cos(fp2, st2) > 0.98).all(), _cos(fp2, st2)
+
+
+def test_static_padded_equals_unpadded():
+    """int8 masking + int8 ceil-pool keep the padded==unpadded invariant;
+    with BAKED scales the padded run quantizes identically, so this is
+    tighter than the dynamic case."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(7), cfg)
+    qvgg = quantize_vgg(params["vgg"])
+    rng = np.random.default_rng(7)
+    t = 43
+    x = rng.standard_normal((1, t, 80)).astype(np.float32)
+    scales = calibrate_int8_scales(qvgg, x, np.array([t], np.int32), cfg)
+    folded = fold_static_scales(qvgg, scales, cfg)
+
+    unpadded = np.asarray(
+        get_embedding_int8_static(params, folded, scales[0], state, x, None, cfg)
+    )
+    x_pad = np.zeros((1, t + 29, 80), np.float32)
+    x_pad[:, :t] = x
+    padded = np.asarray(
+        get_embedding_int8_static(
+            params, folded, scales[0], state, x_pad, np.array([t], np.int32), cfg
+        )
+    )
+    np.testing.assert_allclose(padded, unpadded, rtol=1e-5, atol=1e-5)
+
+
+def test_make_int8_embed_fn_static_scheme():
+    """scheme='static': first call runs (and calibrates on) the dynamic
+    path; later calls run the fused static program and stay close."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(8), cfg)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 50, 80)).astype(np.float32)
+    lens = np.array([50, 41], np.int32)
+
+    dyn_fn = make_int8_embed_fn(params, cfg, scheme="dynamic")
+    st_fn = make_int8_embed_fn(params, cfg, scheme="static")
+    first = np.asarray(st_fn(params, state, x, lens))
+    np.testing.assert_allclose(
+        first, np.asarray(dyn_fn(params, state, x, lens)), rtol=1e-5, atol=1e-5
+    )
+    second = np.asarray(st_fn(params, state, x, lens))
+    assert (_cos(first, second) > 0.995).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_int8_embed_fn(params, cfg, scheme="int4")
+
+
 def test_api_quantize_int8():
     from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
 
@@ -104,6 +206,14 @@ def test_api_quantize_int8():
     e_q = q_model.embed_features(feats)
     assert e_q.shape == e_fp.shape
     assert _cos(e_fp[None], e_q[None])[0] > 0.98
+
+    q_static = SpeakerEmbeddingModel(
+        fp_model.params, fp_model.model_state, cfg, quantize="int8_static"
+    )
+    e_s1 = q_static.embed_features(feats)  # calibration call (dynamic path)
+    e_s2 = q_static.embed_features(feats)  # static program
+    assert _cos(e_fp[None], e_s2[None])[0] > 0.98
+    assert _cos(e_s1[None], e_s2[None])[0] > 0.995
 
     import pytest
 
