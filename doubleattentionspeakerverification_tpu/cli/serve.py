@@ -35,10 +35,16 @@ def main(argv=None) -> int:
     parser.add_argument("--embed_timeout_s", type=float, default=600.0,
                         help="per-request wait bound; the first request per "
                              "length bucket sits out an XLA compile")
-    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
-                        help="'int8': run the conv encoder in int8 on the MXU "
-                             "(1.47x embedding throughput measured on v5e; "
-                             "embeddings cosine-match fp to ~1e-3)")
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "int8", "int8_static"],
+                        help="'int8': int8 conv encoder, dynamic activation "
+                             "scales (1.47x embedding throughput on v5e); "
+                             "'int8_static': scales calibrated on the first "
+                             "batch and baked into a fully fused int8 program "
+                             "(embeddings cosine-match fp to ~1e-3)")
+    parser.add_argument("--max_body_mb", type=float, default=64.0,
+                        help="reject POST bodies larger than this (HTTP 413) "
+                             "before buffering them")
     parser.add_argument("--enrollment_db", type=str, default=None,
                         help="persist speaker enrollments to this .npz "
                              "(loaded at startup, written on every change)")
@@ -59,7 +65,8 @@ def main(argv=None) -> int:
                          embed_timeout_s=params.embed_timeout_s,
                          enrollment_db=params.enrollment_db,
                          verify_threshold=params.verify_threshold,
-                         pipeline=params.pipeline)
+                         pipeline=params.pipeline,
+                         max_body_mb=params.max_body_mb)
     if params.warmup:
         lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
         print(f"warming up buckets for frame lengths {lengths} ...")

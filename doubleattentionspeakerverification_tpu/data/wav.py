@@ -47,6 +47,13 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
             audio_format, n_ch, bits = fmt
             if n_ch < 1:
                 raise ValueError(f"invalid channel count {n_ch}")
+            if body + chunk_size > len(data):
+                # a silently-shortened slice would decode a truncated upload
+                # (network cut, partial copy) into valid-looking audio
+                raise ValueError(
+                    f"truncated data chunk: header declares {chunk_size} "
+                    f"bytes, {len(data) - body} present"
+                )
             raw = data[body : body + chunk_size]
             samples = _decode_samples(raw, audio_format, bits)
             if n_ch > 1:
@@ -55,6 +62,10 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         pos = body + chunk_size + (chunk_size & 1)
     if samples is None or sr is None:
         raise ValueError("missing fmt/data chunk")
+    if samples.size == 0:
+        raise ValueError("empty data chunk (zero audio samples)")
+    if sr <= 0:
+        raise ValueError(f"invalid sample rate {sr}")
     return samples, sr
 
 

@@ -50,6 +50,10 @@ from .evaluation.embeddings import bucket_for
 SERVE_BUCKETS = (100, 200, 350, 500, 750, 1000, 1500, 2000, 3000, 4000, 6000, 8000)
 
 
+class AudioTooLong(ValueError):
+    """Upload longer than the largest serving length bucket (HTTP 413)."""
+
+
 class _Pending:
     __slots__ = ("feats", "event", "result", "error", "created")
 
@@ -87,7 +91,12 @@ class MicroBatcher:
         # XLA compile (~2 min on TPU), and requests queued behind it wait too
         self.embed_timeout_s = embed_timeout_s
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
-        self._stats = {"requests": 0, "forwards": 0, "batched": 0}
+        # `pending` is a live gauge (requests queued or in flight): /health
+        # exposing it lets ops — and the robustness tests — assert the
+        # batcher leaks nothing after error storms. `errors` counts requests
+        # that finished with an exception delivered to the client.
+        self._stats = {"requests": 0, "forwards": 0, "batched": 0,
+                       "pending": 0, "errors": 0}
         self._stats_lock = threading.Lock()
         # `pipeline` forwards may be in flight at once: the collector keeps
         # assembling the next batch while earlier forwards wait out their
@@ -110,14 +119,36 @@ class MicroBatcher:
 
     # ------------------------------------------------------------- client
     def embed(self, feats: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
-        """(T, F) normalized features -> (emb,). Thread-safe, blocking."""
-        p = _Pending(np.asarray(feats, np.float32))
-        self._q.put(p)
-        if not p.event.wait(self.embed_timeout_s if timeout is None else timeout):
-            raise TimeoutError("embedding request timed out")
-        if p.error is not None:
-            raise p.error
-        return p.result
+        """(T, F) normalized features -> (emb,). Thread-safe, blocking.
+
+        Raises :class:`AudioTooLong` for inputs beyond the largest length
+        bucket: serving runs a CLOSED set of compiled shapes; an unbounded
+        utterance would trigger a fresh multi-minute XLA compile mid-traffic
+        (an easy accidental DoS). Batch/offline paths (``score_trials``,
+        ``EmbeddingExtractor``) still handle any length via the beyond-grid
+        round-up."""
+        feats = np.asarray(feats, np.float32)
+        if feats.shape[0] > self.buckets[-1]:
+            raise AudioTooLong(
+                f"{feats.shape[0]} frames exceeds the largest serving "
+                f"bucket ({self.buckets[-1]}); split the audio or raise "
+                "--buckets"
+            )
+        p = _Pending(feats)
+        with self._stats_lock:
+            self._stats["pending"] += 1
+        try:
+            self._q.put(p)
+            if not p.event.wait(self.embed_timeout_s if timeout is None else timeout):
+                raise TimeoutError("embedding request timed out")
+            if p.error is not None:
+                with self._stats_lock:
+                    self._stats["errors"] += 1
+                raise p.error
+            return p.result
+        finally:
+            with self._stats_lock:
+                self._stats["pending"] -= 1
 
     def close(self) -> None:
         self._q.put(None)
@@ -347,6 +378,7 @@ def make_server(
     enrollment_db: Optional[str] = None,
     verify_threshold: float = 0.5,
     pipeline: int = 2,
+    max_body_mb: float = 64.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
@@ -407,7 +439,22 @@ def make_server(
 
         def do_POST(self):
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return self._json(400, {"error": "invalid Content-Length"})
+                if n < 0:
+                    return self._json(400, {"error": "invalid Content-Length"})
+                if n > max_body_mb * 1e6:
+                    # refuse BEFORE reading: an oversized upload must not be
+                    # buffered into RAM (the connection is closed after the
+                    # error response, draining nothing)
+                    self._json(413, {
+                        "error": f"body {n} bytes exceeds the "
+                                 f"{max_body_mb:.0f} MB limit"
+                    })
+                    self.close_connection = True
+                    return
                 body = self.rfile.read(n)
                 parsed = urllib.parse.urlparse(self.path)
                 query = dict(urllib.parse.parse_qsl(parsed.query))
@@ -455,6 +502,11 @@ def make_server(
                     self._json(200, {"score": float(cosine_scores(a[None], b[None])[0])})
                 else:
                     self._json(404, {"error": f"unknown path {path}"})
+            except AudioTooLong as e:
+                self._json(413, {"error": f"{type(e).__name__}: {e}"})
+            except TimeoutError as e:
+                # server-side saturation, not a client mistake
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -160,7 +160,8 @@ def test_microbatcher_warmup(model):
     try:
         batcher.warmup([50, 60, 100])  # buckets 64 and 128
         s = batcher.stats()
-        assert s == {"requests": 0, "forwards": 0, "batched": 0}  # counters reset
+        assert s == {"requests": 0, "forwards": 0, "batched": 0,
+                     "pending": 0, "errors": 0}  # counters reset
         # post-warmup request works and counts normally
         batcher.embed(_feats(40))
         assert batcher.stats()["requests"] == 1
@@ -323,3 +324,212 @@ def test_microbatcher_concurrency_soak(model):
         assert s["forwards"] < s["requests"]  # batching actually happened
     finally:
         batcher.close()
+
+
+# ----------------------------------------------------------- robustness
+# (VERDICT r3 #7) The reference has no serving; these harden the
+# beyond-reference surface: every malformed/hostile input must produce a
+# clean JSON 4xx/5xx — no worker death, no hung client, no leaked pending
+# entries in /health.
+
+
+def _truncated_wavs():
+    """A zoo of malformed/truncated RIFF bodies."""
+    good = _wav_bytes(seconds=0.3)
+    return {
+        "empty": b"",
+        "not_riff": b"this is not audio at all",
+        "riff_only": good[:4],
+        "header_cut_mid_fmt": good[:20],
+        "no_data_chunk": good[:36],
+        "data_declared_but_missing": good[:44],
+        "data_truncated": good[: len(good) // 2],
+        "wrong_magic": b"RIFX" + good[4:],
+        "zero_channels": good[:22] + b"\x00\x00" + good[24:],
+    }
+
+
+def test_http_malformed_bodies_clean_4xx(model):
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for name, body in _truncated_wavs().items():
+            for path in ("/embed", "/enroll?speaker=x", "/identify"):
+                req = urllib.request.Request(base + path, data=body, method="POST")
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code in (400, 404), (name, path, ei.value.code)
+                err = json.loads(ei.value.read())
+                assert "error" in err, (name, path)
+        # malformed /score JSON variants
+        for body in (b"", b"{", b'{"a": [1,2]}', b'{"a": "x", "b": "y"}',
+                     b'{"a": [1], "b": [[1,2],[3]]}'):
+            req = urllib.request.Request(base + "/score", data=body, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400, body
+        # server is still alive and leak-free after the error storm
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["pending"] == 0, h
+        e = json.loads(
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/embed", data=_wav_bytes(seed=9), method="POST"
+                ),
+                timeout=60,
+            ).read()
+        )
+        assert len(e["embedding"]) == TINY.model.embedding_size
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
+
+
+def test_http_oversized_body_rejected_before_read(model):
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0,
+                         max_body_mb=1.0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base + "/embed", data=b"\x00" * 2_000_000, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+        assert "limit" in json.loads(ei.value.read())["error"]
+        # under the limit still works (decode error, but read + handled)
+        req = urllib.request.Request(
+            base + "/embed", data=b"\x00" * 10_000, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.loads(r.read())["pending"] == 0
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
+
+
+def test_http_unknown_routes(model):
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for method, path in (("GET", "/nope"), ("GET", "/embed"),
+                             ("POST", "/nope"), ("POST", "/health/../x")):
+            req = urllib.request.Request(
+                base + path, data=b"x" if method == "POST" else None,
+                method=method)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 404, (method, path)
+            assert "error" in json.loads(ei.value.read())
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
+
+
+def test_audio_longer_than_largest_bucket_413(model):
+    """Serving runs a CLOSED set of compiled shapes: an upload beyond the
+    largest bucket is refused with 413 (batch CLIs still handle any length
+    via the beyond-grid round-up) instead of triggering a surprise
+    multi-minute XLA compile mid-traffic."""
+    from doubleattentionspeakerverification_tpu.serving import AudioTooLong
+
+    batcher = MicroBatcher(model, max_batch=2, max_wait_ms=1.0, buckets=(64, 128))
+    try:
+        with pytest.raises(AudioTooLong):
+            batcher.embed(_feats(129))
+        assert batcher.stats()["pending"] == 0
+    finally:
+        batcher.close()
+
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0)
+    server.batcher.buckets = (64, 128)  # shrink so the test stays fast
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base + "/embed", data=_wav_bytes(seconds=1.5), method="POST"
+        )  # ~150 frames > 128
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+        assert "bucket" in json.loads(ei.value.read())["error"]
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.loads(r.read())["pending"] == 0
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
+
+
+def test_concurrent_enroll_unenroll_race(model):
+    """Hammer enroll/verify/identify/unenroll for one speaker from many
+    threads: every response is a clean JSON 200/404, the DB stays
+    consistent, and nothing leaks."""
+    server = make_server(model, port=0, max_batch=4, max_wait_ms=1.0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        wav = _wav_bytes(seconds=0.3, seed=5)
+        # pre-compile the bucket so worker threads don't all sit in a compile
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/embed", data=wav, method="POST"),
+            timeout=120,
+        ).read()
+        errors = []
+
+        def worker(tid):
+            ops = ["/enroll?speaker=race", "/verify?speaker=race",
+                   "/identify", "/unenroll?speaker=race"]
+            rng = np.random.default_rng(tid)
+            for _ in range(10):
+                path = ops[int(rng.integers(len(ops)))]
+                req = urllib.request.Request(base + path, data=wav, method="POST")
+                try:
+                    urllib.request.urlopen(req, timeout=60).read()
+                except urllib.error.HTTPError as e:
+                    body = json.loads(e.read())
+                    # 404 = speaker currently unenrolled / no speakers: legal
+                    if e.code != 404 or "error" not in body:
+                        errors.append((tid, path, e.code, body))
+                except Exception as e:
+                    errors.append((tid, path, repr(e)))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads), "race test hung"
+        assert not errors, errors[:5]
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            h = json.loads(r.read())
+        assert h["pending"] == 0, h
+        # DB consistent: either absent or a positive enrollment count
+        with urllib.request.urlopen(base + "/speakers", timeout=10) as r:
+            spk = json.loads(r.read())["speakers"]
+        assert spk.get("race", 1) >= 1, spk
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        th.join(timeout=5)
