@@ -178,7 +178,43 @@ def main() -> int:
         cli += ["--data_source", "wav", "--transfer_dtype", "int16",
                 "--wav_mode", "pcm"]
 
-    base_out = out_dir
+    result = run_training(cli, out_dir, args)
+    if result is None:
+        return 1
+
+    # The trainer emits a one-shot `perf_hint` when step dispatch is paying
+    # the host->device batch transfer synchronously (some relay sessions do;
+    # CLAUDE.md) — a background transfer thread recovers ~10 points of step
+    # ceiling (BASELINE.md r3: 72.8% -> 83.4%, recovered manually then).
+    # Auto-retry with --device_prefetch 2 so the soak RECORDS the
+    # best-achievable number for the session, keeping both measurements.
+    if result.pop("_perf_hint_fired", False) and args.device_prefetch == 0:
+        print(json.dumps({"note": "perf_hint fired; retrying with "
+                                  "--device_prefetch 2"}), file=sys.stderr)
+        retry = run_training(
+            cli + ["--device_prefetch", "2"],
+            os.path.join(args.workdir, f"out_{args.mode}_pf_{int(time.time())}"),
+            args,
+        )
+        if retry is not None:
+            retry.pop("_perf_hint_fired", None)
+            retry["no_prefetch"] = {
+                k: result[k]
+                for k in ("median_audio_s_per_s", "pct_of_session_ceiling",
+                          "session_step_ms", "wallclock_audio_s_per_s")
+            }
+            retry["perf_hint"] = "dispatch paid the transfer synchronously; "
+            retry["perf_hint"] += "auto-retried with --device_prefetch 2"
+            result = retry
+    print(json.dumps(result))
+    return 0
+
+
+def run_training(cli, base_out, args):
+    """One soak run (with relay-wedge retries): returns the parsed result
+    dict, or None after persistent failure. ``_perf_hint_fired`` marks runs
+    whose trainer detected synchronous-transfer dispatch."""
+    cli = list(cli)
     for attempt in range(max(1, args.attempts)):
         out_dir = base_out if attempt == 0 else f"{base_out}_retry{attempt}"
         cli[cli.index("--out_dir") + 1] = out_dir
@@ -199,7 +235,7 @@ def main() -> int:
             break
     if proc.returncode != 0:
         print(json.dumps({"error": f"train CLI rc={proc.returncode}"}))
-        return 1
+        return None
 
     jsonl = [f for f in os.listdir(out_dir) if f.endswith("_metrics.jsonl")]
     events = [json.loads(l) for l in open(os.path.join(out_dir, jsonl[0]))]
@@ -219,7 +255,7 @@ def main() -> int:
     steady_steps = total_steps - (int(train[0]["step"]) if train else 0)
     total_audio_s = steady_steps * BATCH * ACCUM * WINDOW_S
     span = events[-1]["time"] - train[0]["time"] if train else wall
-    result = {
+    return {
         "metric": "e2e_train_throughput",
         "mode": args.mode,
         "steps": total_steps,
@@ -241,9 +277,12 @@ def main() -> int:
         "eers": eers,
         "sync_validation": bool(args.sync_validation),
         "total_wall_s": round(wall, 1),
+        "device_prefetch": (
+            int(cli[cli.index("--device_prefetch") + 1])
+            if "--device_prefetch" in cli else 0
+        ),
+        "_perf_hint_fired": any(e["event"] == "perf_hint" for e in events),
     }
-    print(json.dumps(result))
-    return 0
 
 
 if __name__ == "__main__":
