@@ -235,6 +235,47 @@ def main():
             jax.jit(_cos_min)(state.params, qvgg, state.model_state)
         )
 
+    # ---- int8 STATIC-scale embedding (same workload): activation scales
+    # calibrated on the bench batch and baked in — the fully fused int8
+    # program (no per-tensor amax barrier; int8 intermediates; see
+    # models/quantized.py). This is the serving configuration
+    # `--quantize int8_static` after its first (calibration) batch.
+    int8s_time = int8s_audio = int8s_cos_min = None
+    if not large_vocab:
+        from doubleattentionspeakerverification_tpu.models.quantized import (
+            calibrate_int8_scales,
+            fold_static_scales,
+            get_embedding_int8_static,
+        )
+
+        scales = calibrate_int8_scales(qvgg, x, lens, embed_cfg)
+        folded = fold_static_scales(qvgg, scales, embed_cfg)
+        static_fn = jax.jit(
+            lambda p, s_ms, xx, ll: get_embedding_int8_static(
+                p, folded, scales[0], s_ms, xx, ll, embed_cfg
+            )
+        )
+
+        def one_int8s(_i):
+            return scalar_of(static_fn(state.params, state.model_state, x, lens))
+
+        timed_chain(one_int8s, 1)
+        s_a = timed_chain(one_int8s, ek1)
+        s_b = timed_chain(one_int8s, ek2)
+        int8s_time = max(1e-9, (s_b - s_a) / (ek2 - ek1))
+        int8s_audio = (eb * (et / 100.0)) / int8s_time
+
+        def _cos_min_static(p, s_ms):
+            a = get_embedding(p, s_ms, x, lens, embed_cfg)
+            b_ = get_embedding_int8_static(p, folded, scales[0], s_ms, x, lens, embed_cfg)
+            a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+            b_ = b_ / jnp.linalg.norm(b_, axis=-1, keepdims=True)
+            return jnp.min(jnp.sum(a * b_, -1))
+
+        int8s_cos_min = float(
+            jax.jit(_cos_min_static)(state.params, state.model_state)
+        )
+
     # ---- end-to-end train: fresh host batches each step, bf16 transfer
     # (the production path: loader -> device copy -> step; proves the copy
     # is hidden / cheap with the reduced transfer dtype). Opt-in: it costs
@@ -323,6 +364,20 @@ def main():
                     "embed_int8_cos_min": round(int8_cos_min, 5),
                 }
                 if int8_time is not None
+                else {}
+            ),
+            **(
+                {
+                    "embed_int8_static_audio_s_per_s": round(int8s_audio, 1),
+                    "embed_int8_static_tflops": round(
+                        (eb / int8s_time)
+                        * forward_flops_per_sample(cfg.model, et)
+                        / 1e12,
+                        1,
+                    ),
+                    "embed_int8_static_cos_min": round(int8s_cos_min, 5),
+                }
+                if int8s_time is not None
                 else {}
             ),
             **(
