@@ -210,11 +210,22 @@ def quantized_vgg_apply_static(
     x: jnp.ndarray,
     lengths: Optional[jnp.ndarray],
     cfg: ModelConfig,
+    use_pallas_conv: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Static-scale int8 VGG forward: every intermediate activation lives as
     int8 (one fused dequant+bias+ReLU+requantize epilogue per conv; mask and
     ceil-pool applied to the int8 tensor — requantize commutes with max and
-    quantize(0)=0, so padded batches still match unpadded forwards)."""
+    quantize(0)=0, so padded batches still match unpadded forwards).
+
+    ``use_pallas_conv`` routes every conv past the first through the fused
+    Pallas kernel (``ops/conv_int8_pallas.py``): XLA materializes each
+    conv's int32 output to HBM with the epilogue as a separate fusion (the
+    measured bottleneck of this path on v5e — module docstring), while the
+    kernel applies the identical epilogue in VMEM and writes int8 directly.
+    The first conv (Cin=1) stays in XLA. Gated behind a one-batch parity
+    check in :func:`make_int8_embed_fn`.
+    """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     n_blocks = 3 if cfg.front_end == "VGG3L" else 4
     order = _conv_order(cfg)
@@ -226,19 +237,36 @@ def quantized_vgg_apply_static(
     for i in range(n_blocks):
         for j in (1, 2):
             p = folded[order[k]]
-            y = jax.lax.conv_general_dilated(
-                q, p["w_q"], window_strides=(1, 1), padding="SAME",
-                dimension_numbers=_CONV_DN,
-                preferred_element_type=jnp.int32,
-            )
-            t = jax.nn.relu(y.astype(jnp.float32) * p["mult"] + p["bias"])
             last = k == len(order) - 1
-            if last:
-                h = mask_time(t.astype(compute_dtype), cur_len)
-            else:
-                q = _mask_time_int8(
-                    jnp.clip(jnp.round(t), 0, 127).astype(jnp.int8), cur_len
+            if use_pallas_conv and k > 0:
+                from ..ops.conv_int8_pallas import conv3x3_int8_fused
+
+                cin, cout = p["w_q"].shape[2], p["w_q"].shape[3]
+                y = conv3x3_int8_fused(
+                    q,
+                    p["w_q"].reshape(9, cin, cout),
+                    p["mult"][None, :],
+                    p["bias"][None, :],
+                    out_kind=str(compute_dtype) if last else "int8",
+                    interpret=interpret,
                 )
+                if last:
+                    h = mask_time(y, cur_len)
+                else:
+                    q = _mask_time_int8(y, cur_len)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    q, p["w_q"], window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=_CONV_DN,
+                    preferred_element_type=jnp.int32,
+                )
+                t = jax.nn.relu(y.astype(jnp.float32) * p["mult"] + p["bias"])
+                if last:
+                    h = mask_time(t.astype(compute_dtype), cur_len)
+                else:
+                    q = _mask_time_int8(
+                        jnp.clip(jnp.round(t), 0, 127).astype(jnp.int8), cur_len
+                    )
             k += 1
         if k == len(order):
             h = _ceil_maxpool2(h)
@@ -252,9 +280,13 @@ def quantized_vgg_apply_static(
 
 
 def get_embedding_int8_static(
-    params, folded, act_scale0, state: ModelState, x, lengths, cfg: ModelConfig
+    params, folded, act_scale0, state: ModelState, x, lengths, cfg: ModelConfig,
+    use_pallas_conv: bool = False, interpret: bool = False,
 ) -> jnp.ndarray:
-    enc, enc_len = quantized_vgg_apply_static(folded, act_scale0, x, lengths, cfg)
+    enc, enc_len = quantized_vgg_apply_static(
+        folded, act_scale0, x, lengths, cfg,
+        use_pallas_conv=use_pallas_conv, interpret=interpret,
+    )
     emb, _, _ = trunk_tail(params, state, enc, enc_len, cfg, train=False, rng=None)
     return emb
 
@@ -293,15 +325,70 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
                 qvgg, x, lens, rcfg, margin=calibration_margin
             )
             folded = fold_static_scales(qvgg, scales, rcfg)
+            pallas_conv = _static_pallas_gate(
+                p, folded, scales, s, x, lens, rcfg
+            )
             box["jit"] = jax.jit(
                 lambda pp, ss, xx, ll: get_embedding_int8_static(
-                    pp, folded, scales[0], ss, xx, ll, rcfg
+                    pp, folded, scales[0], ss, xx, ll, rcfg,
+                    use_pallas_conv=pallas_conv,
                 )
             )
             return emb
         return box["jit"](p, s, x, lens)
 
     return embed
+
+
+def _static_pallas_gate(params, folded, scales, state, x, lens,
+                        cfg: ModelConfig) -> bool:
+    """Decide whether the static int8 path may use the fused Pallas conv
+    kernel: TPU backend only, and the Pallas and XLA static programs must
+    agree on the calibration batch (same integer math, so the comparison is
+    tight). Any mismatch or kernel failure falls back to XLA with a logged
+    warning — a kernel regression can never silently corrupt scores."""
+    import logging
+
+    from ..utils.kernel_auto import _DECISIONS, _on_tpu
+
+    log = logging.getLogger(__name__)
+    if not _on_tpu():
+        _DECISIONS.setdefault("int8_pallas_conv", "auto->False (not on TPU)")
+        return False
+    try:
+        ref = np.asarray(
+            jax.jit(
+                lambda: get_embedding_int8_static(
+                    params, folded, scales[0], state, x, lens, cfg
+                )
+            )()
+        )
+        fast = np.asarray(
+            jax.jit(
+                lambda: get_embedding_int8_static(
+                    params, folded, scales[0], state, x, lens, cfg,
+                    use_pallas_conv=True,
+                )
+            )()
+        )
+        ok = ref.shape == fast.shape and bool(
+            np.allclose(ref, fast, atol=1e-3, rtol=1e-3)
+        )
+        if not ok:
+            log.warning(
+                "int8 pallas conv parity self-check FAILED (max diff %.3g) "
+                "— using the XLA static path",
+                float(np.max(np.abs(ref - fast))) if ref.shape == fast.shape
+                else float("nan"),
+            )
+    except Exception as e:
+        ok = False
+        log.warning(
+            "int8 pallas conv self-check errored (%s) — using the XLA "
+            "static path", e,
+        )
+    _DECISIONS["int8_pallas_conv"] = f"auto->{ok}"
+    return ok
 
 
 def get_embedding_int8(

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused int8 3x3 conv + requantize epilogue.
+
+Why this exists (measured on v5e, tools/int8_probe.py r4): XLA cannot fuse
+elementwise epilogues into its convolution op, so every int8 conv in the
+static-scale quantized encoder (models/quantized.py) materializes its int32
+output to HBM and re-reads it in a separate requantize fusion — ~8 bytes of
+int32 traffic per element on top of the 1-byte int8 write. At the flagship
+shapes that int32 round-trip, not the MXU, bounds the embed step (static
+int8 conv stack 8.1 ms vs a 6.6 ms raw-conv floor, fp 12.2 ms).
+
+This kernel computes the SAME-padded 3x3 conv as nine shifted (R, Cin) x
+(Cin, Cout) int8 matmuls accumulated in VMEM int32 scratch, applies the
+folded epilogue (per-channel ``mult``/``bias`` from
+``models.quantized.fold_static_scales``; ReLU and the next conv's
+requantization collapse into ``clip(round(acc * mult + bias), 0, 127)``)
+while the tile is still in VMEM, and writes ONLY the int8 (or, for the last
+conv, bfloat16) result — HBM sees 3 int8 reads (time-halo views) + 1 write
+per element instead of XLA's 1 read + 4+4 int32 write+read + 1 write.
+
+Halo handling: the time axis is tiled; each grid step receives the previous
+/ current / next time tiles as three views of the same array (clamped index
+maps) and assembles a (t_tile+2, F+2, Cin) zero-padded patch buffer in VMEM
+scratch, so the nine taps become pure static slices. Rows beyond the valid
+T of a partial last tile are zeroed (SAME conv padding semantics), and the
+F axis is padded inside the scratch buffer — no concatenates in-kernel.
+
+Grid order is (Cout tiles, B, time tiles): time fastest, so the current
+tile's input block is the next step's halo block (Mosaic re-uses blocks
+whose index map is unchanged between consecutive steps), and the weight
+block stays resident for a whole (co, :) stripe.
+
+The first conv (Cin=1) stays in XLA — its patch matrix is K=9 and
+MXU-irrelevant; models/quantized.py runs it as a bf16 conv whose epilogue
+XLA fuses fine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(x_prev, x_cur, x_next, w_ref, mult_ref, bias_ref, out_ref,
+            xf_ref, acc_ref, *, t_tile, n_t, T, F, Cin, co_tile, out_kind):
+    t = pl.program_id(2)
+
+    # ---- assemble the zero-padded (t_tile + 2, F + 2, Cin) patch buffer
+    xf_ref[:] = jnp.zeros_like(xf_ref)
+    cur = x_cur[0]  # (t_tile, F, Cin) int8
+    t0 = t * t_tile
+    if T % t_tile:
+        # partial last tile: rows >= T were read out of bounds (undefined);
+        # SAME padding needs them to be ZERO because row T-1's dt=+1 tap
+        # reads them even though its own output row is valid
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1, 1), 0) + t0
+        cur = jnp.where(rows < T, cur, jnp.zeros((), cur.dtype))
+    xf_ref[1 : t_tile + 1, 1 : F + 1, :] = cur
+
+    @pl.when(t > 0)
+    def _prev_halo():
+        xf_ref[0:1, 1 : F + 1, :] = x_prev[0, t_tile - 1 : t_tile]
+
+    @pl.when(t < n_t - 1)
+    def _next_halo():
+        xf_ref[t_tile + 1 : t_tile + 2, 1 : F + 1, :] = x_next[0, 0:1]
+
+    # ---- nine shifted int8 matmuls, int32 accumulation in VMEM
+    r = t_tile * F
+    for k in range(9):
+        dt, df = divmod(k, 3)
+        xs = xf_ref[dt : dt + t_tile, df : df + F, :].reshape(r, Cin)
+        part = jax.lax.dot_general(
+            xs, w_ref[k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if k == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+
+    # ---- fused epilogue: dequant + bias (+ReLU) + requantize, one write
+    acc = acc_ref[:].astype(jnp.float32) * mult_ref[0][None, :] + bias_ref[0][None, :]
+    if out_kind == "int8":
+        # clip lower bound 0 subsumes the ReLU (negative pre-activations
+        # round below zero and clamp to the quantized zero)
+        q = jnp.clip(jnp.round(acc), 0, 127).astype(jnp.int8)
+    else:
+        q = jax.nn.relu(acc).astype(jnp.dtype(out_kind))
+    out_ref[0] = q.reshape(t_tile, F, co_tile)
+
+
+def _pick_tiles(T: int, F: int, Cin: int, Cout: int):
+    """Time/Cout tile sizes: ~512-1024 matmul rows per step, weight block
+    bounded to ~2.5 MB so it stays VMEM-resident with double buffering."""
+    t_tile = min(T, max(8, 512 // F))
+    co_tile = min(Cout, max(128, (2_700_000 // (9 * Cin)) // 128 * 128))
+    return t_tile, co_tile
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_kind", "interpret")
+)
+def conv3x3_int8_fused(
+    q: jnp.ndarray,        # (B, T, F, Cin) int8
+    w9: jnp.ndarray,       # (9, Cin, Cout) int8  (3x3 taps flattened)
+    mult: jnp.ndarray,     # (1, Cout) f32 folded scale  s_in * w_s / s_next
+    bias: jnp.ndarray,     # (1, Cout) f32 folded bias   b / s_next
+    *,
+    out_kind: str = "int8",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SAME 3x3 conv over (T, F) with the static-scale epilogue fused in.
+
+    Output: (B, T, F, Cout) of ``out_kind`` — 'int8' for inter-conv layers
+    (values already on the NEXT conv's scale), 'bfloat16'/'float32' for the
+    stack's last conv (plain dequantized ReLU activations).
+    """
+    B, T, F, Cin = q.shape
+    Cout = w9.shape[2]
+    t_tile, co_tile = _pick_tiles(T, F, Cin, Cout)
+    n_t = _cdiv(T, t_tile)
+    n_co = _cdiv(Cout, co_tile)
+
+    kernel = functools.partial(
+        _kernel, t_tile=t_tile, n_t=n_t, T=T, F=F, Cin=Cin,
+        co_tile=co_tile, out_kind=out_kind,
+    )
+    x_spec = lambda f: pl.BlockSpec(
+        (1, t_tile, F, Cin), f, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_co, B, n_t),
+        in_specs=[
+            x_spec(lambda c, b, t: (b, jnp.maximum(t - 1, 0), 0, 0)),
+            x_spec(lambda c, b, t: (b, t, 0, 0)),
+            x_spec(lambda c, b, t: (b, jnp.minimum(t + 1, n_t - 1), 0, 0)),
+            pl.BlockSpec((9, Cin, co_tile), lambda c, b, t: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, b, t: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, b, t: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, F, co_tile), lambda c, b, t: (b, t, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F, Cout), jnp.dtype(out_kind)),
+        scratch_shapes=[
+            pltpu.VMEM((t_tile + 2, F + 2, Cin), jnp.int8),
+            pltpu.VMEM((t_tile * F, co_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, q, q, w9, mult, bias)
