@@ -343,11 +343,15 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
 def _static_pallas_gate(params, folded, scales, state, x, lens,
                         cfg: ModelConfig) -> bool:
     """Decide whether the static int8 path may use the fused Pallas conv
-    kernel: TPU backend only, and the Pallas and XLA static programs must
-    agree on the calibration batch (same integer math, so the comparison is
-    tight). Any mismatch or kernel failure falls back to XLA with a logged
-    warning — a kernel regression can never silently corrupt scores."""
+    kernel: TPU backend only, the Pallas and XLA static programs must agree
+    on the calibration batch (same integer math, so the comparison is
+    tight), AND the kernel must actually be FASTER on that batch — Mosaic's
+    matmul efficiency varies by shape (r4: a correct kernel measured 2x
+    slower than XLA at some layer shapes), and a slower-but-equal kernel
+    must never auto-enable. Any failure falls back to XLA with a logged
+    warning."""
     import logging
+    import time
 
     from ..utils.kernel_auto import _DECISIONS, _on_tpu
 
@@ -356,21 +360,18 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
         _DECISIONS.setdefault("int8_pallas_conv", "auto->False (not on TPU)")
         return False
     try:
-        ref = np.asarray(
-            jax.jit(
-                lambda: get_embedding_int8_static(
-                    params, folded, scales[0], state, x, lens, cfg
-                )
-            )()
+        xla_fn = jax.jit(
+            lambda: get_embedding_int8_static(
+                params, folded, scales[0], state, x, lens, cfg
+            )
         )
-        fast = np.asarray(
-            jax.jit(
-                lambda: get_embedding_int8_static(
-                    params, folded, scales[0], state, x, lens, cfg,
-                    use_pallas_conv=True,
-                )
-            )()
+        pallas_fn = jax.jit(
+            lambda: get_embedding_int8_static(
+                params, folded, scales[0], state, x, lens, cfg,
+                use_pallas_conv=True,
+            )
         )
+        ref, fast = np.asarray(xla_fn()), np.asarray(pallas_fn())
         ok = ref.shape == fast.shape and bool(
             np.allclose(ref, fast, atol=1e-3, rtol=1e-3)
         )
@@ -381,6 +382,24 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
                 float(np.max(np.abs(ref - fast))) if ref.shape == fast.shape
                 else float("nan"),
             )
+        if ok:
+            def chain_ms(fn, k=6):
+                t0 = time.perf_counter()
+                e = None
+                for _ in range(k):
+                    e = fn()
+                np.asarray(e)  # host fetch forces the sync
+                return (time.perf_counter() - t0) / k
+
+            chain_ms(xla_fn, 1), chain_ms(pallas_fn, 1)  # warm
+            t_xla = min(chain_ms(xla_fn) for _ in range(2))
+            t_pallas = min(chain_ms(pallas_fn) for _ in range(2))
+            ok = t_pallas < t_xla
+            _DECISIONS["int8_pallas_conv"] = (
+                f"auto->{ok} (pallas {1e3 * t_pallas:.2f} ms vs "
+                f"xla {1e3 * t_xla:.2f} ms)"
+            )
+            return ok
     except Exception as e:
         ok = False
         log.warning(

@@ -49,11 +49,18 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _kernel(x_prev, x_cur, x_next, w_ref, mult_ref, bias_ref, out_ref,
-            xf_ref, acc_ref, *, t_tile, n_t, T, F, Cin, co_tile, out_kind):
+            xf_ref, p_ref, *, t_tile, n_t, T, F, Cin, co_tile, out_kind):
     t = pl.program_id(2)
+    r = t_tile * F
 
-    # ---- assemble the zero-padded (t_tile + 2, F + 2, Cin) patch buffer
-    xf_ref[:] = jnp.zeros_like(xf_ref)
+    # ---- assemble the FLATTENED zero-padded patch buffer.
+    # xf_ref is ((t_tile+4)*F, Cin): row (lt+2)*F + f holds x[t0+lt, f]
+    # (lt=-2 and the tail stay zero so every tap slice below is in-bounds).
+    # Flat layout makes each of the nine taps a pure contiguous ROW SHIFT:
+    # x[t+dt, f+df] lives at flat row (base + dt*F + df). The price is that
+    # a df shift wraps across the F boundary (row t, f=F-1 borrows row
+    # t+1, f=0), fixed by static row masks — much cheaper than the v3
+    # strided (F+2)-pitch reshapes, which Mosaic copied segment-by-segment.
     cur = x_cur[0]  # (t_tile, F, Cin) int8
     t0 = t * t_tile
     if T % t_tile:
@@ -62,33 +69,40 @@ def _kernel(x_prev, x_cur, x_next, w_ref, mult_ref, bias_ref, out_ref,
         # reads them even though its own output row is valid
         rows = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1, 1), 0) + t0
         cur = jnp.where(rows < T, cur, jnp.zeros((), cur.dtype))
-    xf_ref[1 : t_tile + 1, 1 : F + 1, :] = cur
+    xf_ref[0 : 2 * F, :] = jnp.zeros((2 * F, Cin), jnp.int8)
+    xf_ref[2 * F : 2 * F + r, :] = cur.reshape(r, Cin)
+    xf_ref[2 * F + r :, :] = jnp.zeros((2 * F, Cin), jnp.int8)
 
     @pl.when(t > 0)
     def _prev_halo():
-        xf_ref[0:1, 1 : F + 1, :] = x_prev[0, t_tile - 1 : t_tile]
+        xf_ref[F : 2 * F, :] = x_prev[0, t_tile - 1]
 
     @pl.when(t < n_t - 1)
     def _next_halo():
-        xf_ref[t_tile + 1 : t_tile + 2, 1 : F + 1, :] = x_next[0, 0:1]
+        xf_ref[2 * F + r : 3 * F + r, :] = x_next[0, 0]
 
-    # ---- nine shifted int8 matmuls, int32 accumulation in VMEM
-    r = t_tile * F
+    # ---- im2col in VMEM: nine shifted slices -> one (R, 9*Cin) patch
+    # matrix, then ONE MXU matmul per step. (A 9-matmul K=Cin accumulation
+    # variant measured 2x SLOWER than XLA end to end: ~4000 grid steps of
+    # tiny dots were per-step-overhead-bound, r4 int8_probe.)
+    rowmod = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) % F
     for k in range(9):
-        dt, df = divmod(k, 3)
-        xs = xf_ref[dt : dt + t_tile, df : df + F, :].reshape(r, Cin)
-        part = jax.lax.dot_general(
-            xs, w_ref[k],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        if k == 0:
-            acc_ref[:] = part
-        else:
-            acc_ref[:] = acc_ref[:] + part
+        dt, df = divmod(k, 3)  # each in {0,1,2}, representing {-1,0,+1}
+        s = (dt + 1) * F + df - 1
+        xs = xf_ref[s : s + r, :]
+        if df == 0:      # df == -1: f=0 would borrow the previous row's F-1
+            xs = jnp.where(rowmod != 0, xs, jnp.zeros((), xs.dtype))
+        elif df == 2:    # df == +1: f=F-1 would borrow the next row's 0
+            xs = jnp.where(rowmod != F - 1, xs, jnp.zeros((), xs.dtype))
+        p_ref[:, k * Cin : (k + 1) * Cin] = xs
+    acc = jax.lax.dot_general(
+        p_ref[:], w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
     # ---- fused epilogue: dequant + bias (+ReLU) + requantize, one write
-    acc = acc_ref[:].astype(jnp.float32) * mult_ref[0][None, :] + bias_ref[0][None, :]
+    acc = acc.astype(jnp.float32) * mult_ref[0][None, :] + bias_ref[0][None, :]
     if out_kind == "int8":
         # clip lower bound 0 subsumes the ReLU (negative pre-activations
         # round below zero and clamp to the quantized zero)
@@ -98,12 +112,40 @@ def _kernel(x_prev, x_cur, x_next, w_ref, mult_ref, bias_ref, out_ref,
     out_ref[0] = q.reshape(t_tile, F, co_tile)
 
 
-def _pick_tiles(T: int, F: int, Cin: int, Cout: int):
-    """Time/Cout tile sizes: ~512-1024 matmul rows per step, weight block
-    bounded to ~2.5 MB so it stays VMEM-resident with double buffering."""
-    t_tile = min(T, max(8, 512 // F))
-    co_tile = min(Cout, max(128, (2_700_000 // (9 * Cin)) // 128 * 128))
-    return t_tile, co_tile
+def _vmem_estimate(t_tile: int, F: int, Cin: int, co_tile: int) -> int:
+    """Bytes of VMEM a grid step needs: 3 double-buffered input views, the
+    double-buffered weight and output blocks, the padded patch scratch, the
+    im2col matrix, and the dot's int32 result + f32 epilogue temporary
+    (stack-allocated by Mosaic — ignoring these is how v2 OOM'd at 23.7 MB
+    against the 16 MB scoped limit)."""
+    r = t_tile * F
+    return (
+        6 * t_tile * F * Cin            # x_prev/cur/next, 2 pipeline buffers
+        + 2 * 9 * Cin * co_tile         # weight block
+        + 2 * 2 * r * co_tile           # out block (<=2B/elt), 2 buffers
+        + (t_tile + 2) * (F + 2) * Cin  # xf halo scratch
+        + r * 9 * Cin                   # im2col patch matrix
+        + 8 * r * co_tile               # dot s32 + f32 epilogue temp
+    )
+
+
+def _pick_tiles(T: int, F: int, Cin: int, Cout: int, budget: int = 12_000_000):
+    """Tile sizes tuned for FEW, FAT grid steps (per-step overhead made a
+    small-tile variant 2x slower than XLA): maximize matmul rows R =
+    t_tile*F (capped at 2560) subject to the explicit VMEM estimate, then
+    widen co_tile as far as the budget allows."""
+    best = (min(T, 8), min(Cout, 128))
+    for co_tile in (1024, 512, 256, 128):
+        if co_tile > Cout and co_tile != 128:
+            continue
+        co = min(co_tile, Cout)
+        start = max(8, min(T, max(8, 2560 // F)) // 4 * 4)
+        for t_tile in range(start, 7, -4):
+            if _vmem_estimate(t_tile, F, Cin, co) <= budget:
+                if t_tile * F * co > best[0] * F * best[1]:
+                    best = (t_tile, co)
+                break
+    return best
 
 
 @functools.partial(
@@ -144,7 +186,7 @@ def conv3x3_int8_fused(
             x_spec(lambda c, b, t: (b, jnp.maximum(t - 1, 0), 0, 0)),
             x_spec(lambda c, b, t: (b, t, 0, 0)),
             x_spec(lambda c, b, t: (b, jnp.minimum(t + 1, n_t - 1), 0, 0)),
-            pl.BlockSpec((9, Cin, co_tile), lambda c, b, t: (0, 0, c),
+            pl.BlockSpec((9 * Cin, co_tile), lambda c, b, t: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co_tile), lambda c, b, t: (0, c),
                          memory_space=pltpu.VMEM),
@@ -157,8 +199,8 @@ def conv3x3_int8_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, F, Cout), jnp.dtype(out_kind)),
         scratch_shapes=[
-            pltpu.VMEM((t_tile + 2, F + 2, Cin), jnp.int8),
-            pltpu.VMEM((t_tile * F, co_tile), jnp.int32),
+            pltpu.VMEM(((t_tile + 4) * F, Cin), jnp.int8),
+            pltpu.VMEM((t_tile * F, 9 * Cin), jnp.int8),
         ],
         interpret=interpret,
-    )(q, q, q, w9, mult, bias)
+    )(q, q, q, w9.reshape(9 * Cin, Cout), mult, bias)

@@ -132,3 +132,17 @@ def raw_nopool(xq):
     return h
 rawnp = jax.jit(raw_nopool)
 print("int8_rawconv_nopool_ms", timed(lambda: scalar(rawnp(xq))))
+
+# ---- fused pallas conv stack (r4 kernel)
+from doubleattentionspeakerverification_tpu.models.quantized import (
+    quantized_vgg_apply_static, get_embedding_int8_static)
+pconv = jax.jit(lambda xx: quantized_vgg_apply_static(
+    folded, scales[0], xx, None, cfg, use_pallas_conv=True)[0])
+print("int8_pallas_conv_ms", timed(lambda: scalar(pconv(x))))
+pembed = jax.jit(lambda p, s, xx: get_embedding_int8_static(
+    p, folded, scales[0], s, xx, None, cfg, use_pallas_conv=True))
+print("int8_pallas_embed_ms", timed(lambda: scalar(pembed(params, ms, x))))
+# parity on the real chip
+ref = np.asarray(sconv(x), np.float32)
+got = np.asarray(pconv(x), np.float32)
+print("pallas_vs_xla_static_maxdiff", float(np.abs(ref - got).max()))
