@@ -64,7 +64,7 @@ def main() -> int:
 
     def step_ms(model_kw=None, train_kw=None, batch_override=None):
         mcfg = ModelConfig(compute_dtype="bfloat16", **(model_kw or {}))
-        tcfg = TrainConfig(assume_full_lengths=True, **(train_kw or {}))
+        tcfg = TrainConfig(**{"assume_full_lengths": True, **(train_kw or {})})
         cfg = ExperimentConfig(model=mcfg, train=tcfg)
         params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
         state = init_train_state(params, ms, cfg)
