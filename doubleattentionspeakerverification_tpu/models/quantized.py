@@ -317,24 +317,31 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
         raise ValueError(f"unknown int8 scheme {scheme!r}")
 
     box = {}
+    import threading
+
+    calib_lock = threading.Lock()  # serving calls embed from a thread pool:
+    # exactly ONE request may be the calibration batch (a race would bake
+    # whichever thread's scales won — nondeterministic across restarts)
 
     def embed(p, s, x, lens):
         if "jit" not in box:
-            emb = dynamic(p, s, x, lens)
-            scales = calibrate_int8_scales(
-                qvgg, x, lens, rcfg, margin=calibration_margin
-            )
-            folded = fold_static_scales(qvgg, scales, rcfg)
-            pallas_conv = _static_pallas_gate(
-                p, folded, scales, s, x, lens, rcfg
-            )
-            box["jit"] = jax.jit(
-                lambda pp, ss, xx, ll: get_embedding_int8_static(
-                    pp, folded, scales[0], ss, xx, ll, rcfg,
-                    use_pallas_conv=pallas_conv,
-                )
-            )
-            return emb
+            with calib_lock:
+                if "jit" not in box:
+                    emb = dynamic(p, s, x, lens)
+                    scales = calibrate_int8_scales(
+                        qvgg, x, lens, rcfg, margin=calibration_margin
+                    )
+                    folded = fold_static_scales(qvgg, scales, rcfg)
+                    pallas_conv = _static_pallas_gate(
+                        p, folded, scales, s, x, lens, rcfg
+                    )
+                    box["jit"] = jax.jit(
+                        lambda pp, ss, xx, ll: get_embedding_int8_static(
+                            pp, folded, scales[0], ss, xx, ll, rcfg,
+                            use_pallas_conv=pallas_conv,
+                        )
+                    )
+                    return emb
         return box["jit"](p, s, x, lens)
 
     return embed
