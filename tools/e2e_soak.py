@@ -198,14 +198,24 @@ def main() -> int:
         )
         if retry is not None:
             retry.pop("_perf_hint_fired", None)
-            retry["no_prefetch"] = {
-                k: result[k]
-                for k in ("median_audio_s_per_s", "pct_of_session_ceiling",
-                          "session_step_ms", "wallclock_audio_s_per_s")
+            # report the BETTER run (judged against each run's own session
+            # ceiling — sessions drift) as the primary result: prefetch
+            # recovered ~10 pts in r3 sessions but measured slightly slower
+            # in an r4 session, so neither direction is assumed
+            key = lambda r: (r.get("pct_of_session_ceiling")
+                             or r["median_audio_s_per_s"])
+            best, other = ((retry, result) if key(retry) >= key(result)
+                           else (result, retry))
+            best["alternate"] = {
+                "device_prefetch": other["device_prefetch"],
+                **{k: other[k]
+                   for k in ("median_audio_s_per_s", "pct_of_session_ceiling",
+                             "session_step_ms", "wallclock_audio_s_per_s")},
             }
-            retry["perf_hint"] = "dispatch paid the transfer synchronously; "
-            retry["perf_hint"] += "auto-retried with --device_prefetch 2"
-            result = retry
+            best["perf_hint"] = ("dispatch paid the transfer synchronously; "
+                                 "auto-retried with --device_prefetch 2 and "
+                                 "kept the faster run")
+            result = best
     print(json.dumps(result))
     return 0
 
