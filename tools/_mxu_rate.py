@@ -48,20 +48,20 @@ bb = jax.device_put(rng.standard_normal((K, N)).astype(jnp.bfloat16))
 scalar = jax.jit(lambda e: jnp.ravel(e)[0].astype(jnp.float32))
 flops = 2 * M * K * N
 
-f = jax.jit(lambda: pallas_mm(a8, b8, jnp.int32, jnp.int32))
-ms = timed_ms(lambda: scalar(f()), k1=8, k2=24)
-print(f"pallas_int8: {ms:.3f} ms = {flops/ms/1e9:.0f} GOPS")
+f = jax.jit(lambda a, b: pallas_mm(a, b, jnp.int32, jnp.int32))
+ms = timed_ms(lambda: scalar(f(a8, b8)), k1=8, k2=24)
+print(f"pallas_int8: {ms:.3f} ms = {flops/ms/1e9:.0f} TOPS")
 
-f = jax.jit(lambda: pallas_mm(ab, bb, jnp.float32, jnp.float32))
-ms = timed_ms(lambda: scalar(f()), k1=8, k2=24)
-print(f"pallas_bf16: {ms:.3f} ms = {flops/ms/1e9:.0f} GFLOPS")
+f = jax.jit(lambda a, b: pallas_mm(a, b, jnp.float32, jnp.float32))
+ms = timed_ms(lambda: scalar(f(ab, bb)), k1=8, k2=24)
+print(f"pallas_bf16: {ms:.3f} ms = {flops/ms/1e9:.0f} TFLOPS")
 
-g = jax.jit(lambda: jax.lax.dot_general(a8, b8, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.int32))
-ms = timed_ms(lambda: scalar(g()), k1=8, k2=24)
-print(f"xla_int8:   {ms:.3f} ms = {flops/ms/1e9:.0f} GOPS")
+g = jax.jit(lambda a, b: jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.int32))
+ms = timed_ms(lambda: scalar(g(a8, b8)), k1=8, k2=24)
+print(f"xla_int8:   {ms:.3f} ms = {flops/ms/1e9:.0f} TOPS")
 
-h = jax.jit(lambda: jax.lax.dot_general(ab, bb, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-ms = timed_ms(lambda: scalar(h()), k1=8, k2=24)
-print(f"xla_bf16:   {ms:.3f} ms = {flops/ms/1e9:.0f} GFLOPS")
+h = jax.jit(lambda a, b: jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32))
+ms = timed_ms(lambda: scalar(h(ab, bb)), k1=8, k2=24)
+print(f"xla_bf16:   {ms:.3f} ms = {flops/ms/1e9:.0f} TFLOPS")
