@@ -337,7 +337,7 @@ def test_score_trials_int8_matches_fp(tmp_path):
     (tmp_path / "tr.ndx").write_text("a b\na c\nb c\n")
 
     outs = {}
-    for mode in ("none", "int8"):
+    for mode in ("none", "int8", "int8_static"):
         out = str(tmp_path / f"scores_{mode}.txt")
         rc = score_main([
             "--modelCheckpoint", ck, "--data_dir", str(feats),
@@ -347,6 +347,8 @@ def test_score_trials_int8_matches_fp(tmp_path):
         assert rc == 0
         outs[mode] = [float(l.split()[2]) for l in open(out).read().strip().splitlines()]
     np.testing.assert_allclose(outs["int8"], outs["none"], atol=5e-3)
+    # static: the first extractor batch doubles as the calibration batch
+    np.testing.assert_allclose(outs["int8_static"], outs["none"], atol=5e-3)
 
 
 def test_bench_watchdog_recovers_from_wedged_attempt(tmp_path):
