@@ -25,7 +25,8 @@ from .evaluation.eer import cosine_scores
 
 class SpeakerEmbeddingModel:
     def __init__(self, params, model_state, cfg: ExperimentConfig,
-                 normalization: str = "cmn", quantize: str = "none"):
+                 normalization: str = "cmn", quantize: str = "none",
+                 quantize_scales_path: Optional[str] = None):
         import jax
 
         from .models.classifier import get_embedding
@@ -39,12 +40,15 @@ class SpeakerEmbeddingModel:
             # int8 conv stack (models/quantized.py): weights quantized once,
             # tail stays fp. 'int8' = dynamic per-forward activation scales;
             # 'int8_static' additionally bakes one-batch-calibrated scales
-            # into a fully fused int8 program (first batch = calibration)
+            # into a fully fused int8 program (first non-degenerate batch =
+            # calibration; explicit via calibrate_quantization*; persisted
+            # across restarts via quantize_scales_path)
             from .models.quantized import make_int8_embed_fn
 
             self._embed = make_int8_embed_fn(
                 params, cfg.model,
                 scheme="static" if quantize == "int8_static" else "dynamic",
+                scales_path=quantize_scales_path,
             )
         elif quantize == "none":
             from .utils.kernel_auto import resolve_model_kernels
@@ -56,15 +60,54 @@ class SpeakerEmbeddingModel:
         else:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 
+    # --------------------------------------------------------- calibration
+    def calibrate_quantization(self, features: np.ndarray,
+                               lengths: Optional[np.ndarray] = None) -> str:
+        """Explicit ``int8_static`` calibration batch ((T, F) or (B, T, F)
+        normalized features). Raises on degenerate input (zeros/silence) or
+        when the quantize mode has no calibration; returns the resulting
+        state ('static', or 'fallback_dynamic' if the runtime cosine guard
+        rejected the baked scales)."""
+        calibrate = getattr(self._embed, "calibrate", None)
+        if calibrate is None:
+            raise ValueError(
+                f"quantize mode {self.quantize!r} takes no calibration batch"
+            )
+        x = features[None] if features.ndim == 2 else features
+        return calibrate(self.params, self.model_state, x, lengths)
+
+    def calibrate_quantization_wav(self, path: str) -> str:
+        """Calibrate ``int8_static`` scales on one wav file (e.g. serve's
+        ``--calibration_wav``) through the same feature path as inference."""
+        wave, sr = read_wav(path)
+        cfg = self.cfg.features
+        if sr != cfg.sample_rate:
+            from .config import FeatureConfig
+
+            cfg = FeatureConfig(sample_rate=sr)
+        feats = np.asarray(
+            extract_normalized(wave.astype(np.float32), cfg, self.normalization)
+        )
+        return self.calibrate_quantization(feats)
+
+    def quantize_calibration_state(self) -> str:
+        """'none' (fp model), 'dynamic', 'uncalibrated', 'static', or
+        'fallback_dynamic'."""
+        state_fn = getattr(self._embed, "calibration_state", None)
+        return state_fn() if state_fn is not None else "none"
+
     # ------------------------------------------------------------- loaders
     @classmethod
     def from_checkpoint(cls, path: str, normalization: str = "cmn",
-                        quantize: str = "none") -> "SpeakerEmbeddingModel":
+                        quantize: str = "none",
+                        quantize_scales_path: Optional[str] = None,
+                        ) -> "SpeakerEmbeddingModel":
         """Load ours (.npz) or a reference torch .chkpt."""
         from .cli.get_embedding import load_model
 
         params, state, cfg = load_model(path)
-        return cls(params, state, cfg, normalization, quantize=quantize)
+        return cls(params, state, cfg, normalization, quantize=quantize,
+                   quantize_scales_path=quantize_scales_path)
 
     @classmethod
     def from_random_init(cls, cfg: ExperimentConfig, seed: int = 0,

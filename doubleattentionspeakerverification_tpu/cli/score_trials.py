@@ -57,6 +57,14 @@ def main(argv=None) -> int:
                         "and baked in — fully fused int8 program, faster "
                         "still. Scores cosine-match fp to ~1e-3 — prefer fp "
                         "when reporting parity EERs")
+    p.add_argument("--calibration_wav", type=str, default=None,
+                   help="int8_static only: calibrate the baked scales on this "
+                        "wav file (path, not an utt id) before scoring "
+                        "instead of on the first scoring batch")
+    p.add_argument("--int8_scales", type=str, default=None,
+                   help="int8_static only: persist/load baked scales at this "
+                        ".npz (loaded if present — deterministic across "
+                        "runs; else written after calibration)")
     p.add_argument("--save_embeddings", type=str, default=None,
                    help="write every embedding computed during scoring to "
                         "this .npz (embedding store; reusable across runs)")
@@ -94,6 +102,8 @@ def main(argv=None) -> int:
         loader = wav_feature_loader(args.data_dir, cfg.features, args.normalization)
     else:
         loader = pickle_feature_loader(args.data_dir, args.normalization)
+    if args.quantize != "int8_static" and (args.calibration_wav or args.int8_scales):
+        p.error("--calibration_wav/--int8_scales require --quantize int8_static")
     embed_fn = None
     if args.quantize in ("int8", "int8_static"):
         from ..models.quantized import make_int8_embed_fn
@@ -101,7 +111,22 @@ def main(argv=None) -> int:
         embed_fn = make_int8_embed_fn(
             params, cfg.model,
             scheme="static" if args.quantize == "int8_static" else "dynamic",
+            scales_path=args.int8_scales,
         )
+        if args.calibration_wav and embed_fn.calibration_state() != "static":
+            from ..data.wav import read_wav
+            from ..dsp.features import extract_normalized
+
+            wave, sr = read_wav(args.calibration_wav)
+            fcfg = cfg.features
+            if sr != fcfg.sample_rate:
+                from ..config import FeatureConfig
+
+                fcfg = FeatureConfig(sample_rate=sr)
+            feats = np.asarray(extract_normalized(
+                wave.astype(np.float32), fcfg, args.normalization))
+            calib_state = embed_fn.calibrate(params, state, feats[None], None)
+            print(f"int8_static calibration: {calib_state}", file=sys.stderr)
     extractor = EmbeddingExtractor(
         params, state, cfg.model, loader, batch_size=args.batch_size,
         embed_fn=embed_fn,

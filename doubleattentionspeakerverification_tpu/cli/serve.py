@@ -40,8 +40,20 @@ def main(argv=None) -> int:
                         help="'int8': int8 conv encoder, dynamic activation "
                              "scales (1.47x embedding throughput on v5e); "
                              "'int8_static': scales calibrated on the first "
-                             "batch and baked into a fully fused int8 program "
-                             "(embeddings cosine-match fp to ~1e-3)")
+                             "real batch (degenerate warmup/silence batches "
+                             "are refused) and baked into a fully fused int8 "
+                             "program (embeddings cosine-match fp to ~1e-3, "
+                             "enforced by a runtime guard that falls back to "
+                             "the dynamic path on failure)")
+    parser.add_argument("--calibration_wav", type=str, default=None,
+                        help="int8_static only: calibrate the baked scales on "
+                             "this wav BEFORE serving (otherwise the first "
+                             "real request calibrates)")
+    parser.add_argument("--int8_scales", type=str, default=None,
+                        help="int8_static only: persist/load baked scales at "
+                             "this .npz so restarts serve deterministic "
+                             "embeddings (loaded if present, else written "
+                             "after the first successful calibration)")
     parser.add_argument("--max_body_mb", type=float, default=64.0,
                         help="reject POST bodies larger than this (HTTP 413) "
                              "before buffering them")
@@ -57,9 +69,18 @@ def main(argv=None) -> int:
                              "e.g. --warmup 350,1000")
     params = parser.parse_args(argv)
 
+    if params.quantize != "int8_static" and (
+        params.calibration_wav or params.int8_scales
+    ):
+        parser.error("--calibration_wav/--int8_scales require "
+                     "--quantize int8_static")
     model = SpeakerEmbeddingModel.from_checkpoint(
-        params.modelCheckpoint, params.normalization, quantize=params.quantize
+        params.modelCheckpoint, params.normalization, quantize=params.quantize,
+        quantize_scales_path=params.int8_scales,
     )
+    if params.calibration_wav and model.quantize_calibration_state() != "static":
+        state = model.calibrate_quantization_wav(params.calibration_wav)
+        print(f"int8_static calibration on {params.calibration_wav}: {state}")
     server = make_server(model, params.host, params.port,
                          params.max_batch, params.max_wait_ms,
                          embed_timeout_s=params.embed_timeout_s,

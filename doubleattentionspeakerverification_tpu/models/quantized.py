@@ -42,6 +42,7 @@ only through the conv stack. Embeddings cosine-match the fp model to
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -50,8 +51,14 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..ops.masked_ops import mask_time
-from .classifier import ModelState, trunk_tail
+from .classifier import ModelState, get_embedding, trunk_tail
 from .vgg import _CONV_DN, _ceil_maxpool2
+
+# A batch whose feature abs-max is below this cannot be a calibration batch:
+# real CMN'd log-mel speech has abs-max O(1..20); all-zeros (serving warmup)
+# or digital silence sit at exactly 0. Calibrating on one would bake scales
+# ~1e-14 and saturate every later real input at +/-127.
+DEGENERATE_CALIBRATION_AMAX = 1e-3
 
 
 def quantize_vgg(vgg_params) -> dict:
@@ -291,8 +298,46 @@ def get_embedding_int8_static(
     return emb
 
 
+def save_int8_scales(path: str, scales, cfg: ModelConfig,
+                     margin: float = 1.0) -> None:
+    """Persist baked static activation scales next to a checkpoint so
+    serving restarts are deterministic (without this, each restart bakes
+    whatever batch arrives first). The model identity fields guard against
+    loading scales calibrated for a different conv stack."""
+    np.savez(
+        path,
+        scales=np.asarray(scales, np.float64),
+        margin=np.float64(margin),
+        front_end=np.asarray(cfg.front_end),
+        kernel_size=np.int64(cfg.kernel_size),
+        feature_size=np.int64(cfg.feature_size),
+    )
+
+
+def load_int8_scales(path: str, cfg: ModelConfig):
+    """Load :func:`save_int8_scales` output; raises on model mismatch."""
+    with np.load(path, allow_pickle=False) as z:
+        scales = [float(s) for s in z["scales"]]
+        fe = str(z["front_end"])
+        ks, fs = int(z["kernel_size"]), int(z["feature_size"])
+    if (fe, ks, fs) != (cfg.front_end, cfg.kernel_size, cfg.feature_size):
+        raise ValueError(
+            f"int8 scales at {path!r} were calibrated for "
+            f"{fe}/k={ks}/f={fs}, but the model is "
+            f"{cfg.front_end}/k={cfg.kernel_size}/f={cfg.feature_size}"
+        )
+    if len(scales) != len(_conv_order(cfg)):
+        raise ValueError(
+            f"int8 scales at {path!r} hold {len(scales)} entries, model "
+            f"has {len(_conv_order(cfg))} convs"
+        )
+    return scales
+
+
 def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
-                       calibration_margin: float = 1.0):
+                       calibration_margin: float = 1.0,
+                       scales_path: Optional[str] = None,
+                       cosine_guard: float = 0.98):
     """The one place the int8 inference path is wired: quantizes the conv
     weights once (closed over) and returns a
     ``(params, state, x, lengths) -> (B, emb)`` drop-in for the fp
@@ -300,50 +345,153 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
     ``score_trials`` CLI so their quantize schemes cannot diverge.
 
     ``scheme='dynamic'``: jitted per-batch-scaled path (no calibration).
-    ``scheme='static'``: the FIRST batch runs the dynamic path and doubles
-    as the calibration batch (its amaxes become the baked scales); every
-    later call runs the fused static program. One extra compile, no
-    separate calibration API to misuse."""
+    ``scheme='static'``: the first NON-DEGENERATE batch runs the dynamic
+    path and doubles as the calibration batch (its amaxes become the baked
+    scales); every later call runs the fused static program. Hardening
+    (each failure mode was a real bug or VERDICT r4 finding):
+
+    - batches whose feature abs-max is below
+      :data:`DEGENERATE_CALIBRATION_AMAX` (all-zeros serving warmup,
+      silence) are served on the dynamic path WITHOUT baking — calibration
+      keeps waiting for a real batch;
+    - after baking, a one-shot runtime guard compares the static program's
+      embeddings against the fp model on the calibration batch; if any
+      row's cosine falls below ``cosine_guard`` the scheme permanently
+      falls back to the dynamic path with a logged warning (garbage scales
+      can never silently serve);
+    - ``scales_path``: when the file exists, its scales are loaded and the
+      static program is built immediately (deterministic restarts — the
+      persisted scales already passed the guard); when it does not, the
+      first successful calibration writes it.
+
+    The returned callable exposes ``calibrate(p, s, x, lens)`` (explicit
+    calibration batch; raises ``ValueError`` on a degenerate one) and
+    ``calibration_state() -> 'dynamic' | 'uncalibrated' | 'static' |
+    'fallback_dynamic'``."""
+    import logging
+    import threading
+
     from ..utils.kernel_auto import resolve_model_kernels
 
+    log = logging.getLogger(__name__)
     rcfg = resolve_model_kernels(cfg, need_dsp=False)
     qvgg = quantize_vgg(params["vgg"])
     dynamic = jax.jit(
         lambda p, s, x, lens: get_embedding_int8(p, qvgg, s, x, lens, rcfg)
     )
     if scheme == "dynamic":
-        return dynamic
+        def embed_dynamic(p, s, x, lens):
+            return dynamic(p, s, x, lens)
+
+        embed_dynamic.calibration_state = lambda: "dynamic"
+        return embed_dynamic
     if scheme != "static":
         raise ValueError(f"unknown int8 scheme {scheme!r}")
 
-    box = {}
-    import threading
-
+    box: dict = {"state": "uncalibrated"}
     calib_lock = threading.Lock()  # serving calls embed from a thread pool:
     # exactly ONE request may be the calibration batch (a race would bake
     # whichever thread's scales won — nondeterministic across restarts)
 
-    def embed(p, s, x, lens):
-        if "jit" not in box:
-            with calib_lock:
-                if "jit" not in box:
-                    emb = dynamic(p, s, x, lens)
-                    scales = calibrate_int8_scales(
-                        qvgg, x, lens, rcfg, margin=calibration_margin
-                    )
-                    folded = fold_static_scales(qvgg, scales, rcfg)
-                    pallas_conv = _static_pallas_gate(
-                        p, folded, scales, s, x, lens, rcfg
-                    )
-                    box["jit"] = jax.jit(
-                        lambda pp, ss, xx, ll: get_embedding_int8_static(
-                            pp, folded, scales[0], ss, xx, ll, rcfg,
-                            use_pallas_conv=pallas_conv,
-                        )
-                    )
-                    return emb
-        return box["jit"](p, s, x, lens)
+    def _bake(scales, pallas_conv: bool):
+        folded = fold_static_scales(qvgg, scales, rcfg)
+        fn = jax.jit(
+            lambda pp, ss, xx, ll: get_embedding_int8_static(
+                pp, folded, scales[0], ss, xx, ll, rcfg,
+                use_pallas_conv=pallas_conv,
+            )
+        )
+        return folded, fn
 
+    if scales_path and os.path.exists(scales_path):
+        # restored scales carry no calibration batch, so the Pallas speed
+        # gate (which needs one) stays off — on current v5e measurements it
+        # auto-disables anyway (module docstring)
+        scales = load_int8_scales(scales_path, rcfg)
+        _, box["fn"] = _bake(scales, pallas_conv=False)
+        box["state"] = "static"
+        log.info("int8_static: restored %d baked scales from %s",
+                 len(scales), scales_path)
+
+    def _calibrate_locked(p, s, x, lens) -> str:
+        """Calibrate on (x, lens); caller holds calib_lock and has already
+        established the batch is non-degenerate. Returns the new state."""
+        scales = calibrate_int8_scales(
+            qvgg, x, lens, rcfg, margin=calibration_margin
+        )
+        folded = fold_static_scales(qvgg, scales, rcfg)
+        pallas_conv = _static_pallas_gate(p, folded, scales, s, x, lens, rcfg)
+        _, fn = _bake(scales, pallas_conv)
+        # one-shot runtime guard: the static program must reproduce the fp
+        # model on its own calibration batch, else the scales are garbage
+        # (saturation, degenerate distribution) and must never serve
+        fp = np.asarray(
+            jax.jit(lambda pp, ss, xx, ll: get_embedding(pp, ss, xx, ll, rcfg))(
+                p, s, x, lens
+            ),
+            np.float64,
+        )
+        st = np.asarray(fn(p, s, x, lens), np.float64)
+        denom = np.linalg.norm(fp, axis=-1) * np.linalg.norm(st, axis=-1)
+        cos = (fp * st).sum(-1) / np.maximum(denom, 1e-12)
+        worst = float(cos.min()) if cos.size else 1.0
+        if worst < cosine_guard:
+            box["state"] = "fallback_dynamic"
+            log.warning(
+                "int8_static calibration REJECTED: static-vs-fp cosine "
+                "%.4f < %.4f on the calibration batch — falling back to "
+                "the dynamic int8 path for this process", worst, cosine_guard,
+            )
+            return box["state"]
+        box["fn"] = fn
+        box["state"] = "static"
+        if scales_path:
+            save_int8_scales(scales_path, scales, rcfg, calibration_margin)
+            log.info("int8_static: baked scales persisted to %s", scales_path)
+        return box["state"]
+
+    def embed(p, s, x, lens):
+        fn = box.get("fn")
+        if fn is not None:
+            return fn(p, s, x, lens)
+        if box["state"] == "fallback_dynamic":
+            return dynamic(p, s, x, lens)
+        with calib_lock:
+            if box.get("fn") is None and box["state"] == "uncalibrated":
+                emb = dynamic(p, s, x, lens)
+                amax = float(jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))))
+                if amax <= DEGENERATE_CALIBRATION_AMAX:
+                    if not box.get("degenerate_logged"):
+                        box["degenerate_logged"] = True
+                        log.info(
+                            "int8_static: batch abs-max %.2g is degenerate "
+                            "(warmup/silence) — served dynamically, still "
+                            "waiting for a real calibration batch", amax,
+                        )
+                else:
+                    _calibrate_locked(p, s, x, lens)
+                return emb
+        # calibrated (or fell back) while we waited on the lock
+        return embed(p, s, x, lens)
+
+    def calibrate(p, s, x, lens=None) -> str:
+        """Explicit calibration batch (e.g. ``--calibration_wav``); raises
+        on a degenerate batch instead of silently skipping it. Overwrites
+        any earlier calibration."""
+        amax = float(jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))))
+        if amax <= DEGENERATE_CALIBRATION_AMAX:
+            raise ValueError(
+                f"calibration batch abs-max {amax:.3g} <= "
+                f"{DEGENERATE_CALIBRATION_AMAX} — all-zeros/silence cannot "
+                "calibrate int8 scales"
+            )
+        with calib_lock:
+            box.pop("fn", None)
+            box["state"] = "uncalibrated"
+            return _calibrate_locked(p, s, x, lens)
+
+    embed.calibrate = calibrate
+    embed.calibration_state = lambda: box["state"]
     return embed
 
 
@@ -356,7 +504,14 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
     matmul efficiency varies by shape (r4: a correct kernel measured 2x
     slower than XLA at some layer shapes), and a slower-but-equal kernel
     must never auto-enable. Any failure falls back to XLA with a logged
-    warning."""
+    warning.
+
+    x/lens are passed as jit ARGUMENTS (not baked constants): a
+    constants-only program lets XLA constant-fold/relayout differently from
+    the real serving program, skewing the timing. The speed verdict still
+    only reflects the calibration batch's SHAPE — Mosaic-vs-XLA ratios are
+    shape-dependent, and other serving buckets may differ (recorded in the
+    decision string)."""
     import logging
     import time
 
@@ -368,17 +523,17 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
         return False
     try:
         xla_fn = jax.jit(
-            lambda: get_embedding_int8_static(
-                params, folded, scales[0], state, x, lens, cfg
+            lambda xx, ll: get_embedding_int8_static(
+                params, folded, scales[0], state, xx, ll, cfg
             )
         )
         pallas_fn = jax.jit(
-            lambda: get_embedding_int8_static(
-                params, folded, scales[0], state, x, lens, cfg,
+            lambda xx, ll: get_embedding_int8_static(
+                params, folded, scales[0], state, xx, ll, cfg,
                 use_pallas_conv=True,
             )
         )
-        ref, fast = np.asarray(xla_fn()), np.asarray(pallas_fn())
+        ref, fast = np.asarray(xla_fn(x, lens)), np.asarray(pallas_fn(x, lens))
         ok = ref.shape == fast.shape and bool(
             np.allclose(ref, fast, atol=1e-3, rtol=1e-3)
         )
@@ -394,7 +549,7 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
                 t0 = time.perf_counter()
                 e = None
                 for _ in range(k):
-                    e = fn()
+                    e = fn(x, lens)
                 np.asarray(e)  # host fetch forces the sync
                 return (time.perf_counter() - t0) / k
 
@@ -404,7 +559,8 @@ def _static_pallas_gate(params, folded, scales, state, x, lens,
             ok = t_pallas < t_xla
             _DECISIONS["int8_pallas_conv"] = (
                 f"auto->{ok} (pallas {1e3 * t_pallas:.2f} ms vs "
-                f"xla {1e3 * t_xla:.2f} ms)"
+                f"xla {1e3 * t_xla:.2f} ms at the calibration batch shape "
+                f"{tuple(np.shape(x))})"
             )
             return ok
     except Exception as e:

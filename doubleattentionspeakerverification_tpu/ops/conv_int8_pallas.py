@@ -30,8 +30,9 @@ whose index map is unchanged between consecutive steps), and the weight
 block stays resident for a whole (co, :) stripe.
 
 The first conv (Cin=1) stays in XLA — its patch matrix is K=9 and
-MXU-irrelevant; models/quantized.py runs it as a bf16 conv whose epilogue
-XLA fuses fine.
+MXU-irrelevant; models/quantized.py routes it through the XLA int8 conv
+branch (int8 input, int32 accumulate, separate requantize fusion), which
+is cheap at Cin=1.
 """
 
 from __future__ import annotations

