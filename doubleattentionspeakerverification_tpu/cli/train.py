@@ -62,6 +62,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             validate_every=params.validate_every,
             checkpoint_every=params.checkpoint_every,
             checkpoint_backend=params.checkpoint_backend,
+            checkpoint_async=params.checkpoint_async,
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
             device_prefetch=params.device_prefetch,
@@ -191,6 +192,12 @@ def make_parser() -> argparse.ArgumentParser:
                         choices=["npz", "orbax"],
                         help="'orbax' writes sharded checkpoint dirs (each "
                              "host persists only its own shards)")
+    parser.add_argument("--checkpoint_async", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="periodic saves block only for the device->host "
+                             "snapshot; disk IO runs off the train loop "
+                             "(best-EER saves always block). "
+                             "--no-checkpoint_async = fully synchronous")
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--stall_exit_s", type=float, default=0.0,
                         help="exit(17) after this many seconds without a "

@@ -132,6 +132,13 @@ class TrainConfig:
     # 'npz' (single-file, host-gathered) or 'orbax' (sharded directory —
     # every host writes only the shards it owns; use on multi-host meshes)
     checkpoint_backend: str = "npz"
+    # Periodic checkpoint writes happen off the train loop (device->host
+    # snapshot is synchronous — donation-safe — but serialization + disk IO
+    # run in a background thread; orbax meta.json finalization is deferred
+    # to the next step-boundary wait). Best-EER checkpoints always block
+    # (they are the requeue target). False = fully synchronous saves (the
+    # r4 behavior for orbax; measured stall numbers in docs/PERFORMANCE.md).
+    checkpoint_async: bool = True
     # Failure recovery: 0 = the stall watchdog only logs; >0 = after this
     # many seconds without a completed step, dump all thread stacks and
     # _exit(17) so a requeue wrapper (slurm --requeue + --requeue flag here)

@@ -185,6 +185,7 @@ class Trainer:
         self._valid_loader = None
         self._pending_val = None  # (thread, result_box, snapshot_state, epoch)
         self._checkpointer = AsyncCheckpointer()
+        self._orbax_saver_inst = None  # lazy OrbaxAsyncSaver
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
 
@@ -490,9 +491,24 @@ class Trainer:
                 # must restore best_ckpt_path so pruning keeps protecting it
                 meta["best_ckpt_path"] = os.path.join(self.cfg.out_dir, f"{stem}.orbax")
             # orbax runs its own (finalization-atomic) write path; every host
-            # participates and writes only its own shards
-            path = save_checkpoint_orbax(
-                os.path.join(self.cfg.out_dir, f"{stem}.orbax"), state, meta
+            # participates and writes only its own shards. Periodic saves go
+            # through the async saver (the train loop blocks only for the
+            # device->host snapshot; disk IO + meta finalization are
+            # deferred); best saves block — they are the requeue target.
+            t0 = time.perf_counter()
+            if self.cfg.train.checkpoint_async:
+                path = self._orbax_saver().save(
+                    os.path.join(self.cfg.out_dir, f"{stem}.orbax"),
+                    state, meta, block=(kind == "best"),
+                )
+            else:
+                path = save_checkpoint_orbax(
+                    os.path.join(self.cfg.out_dir, f"{stem}.orbax"), state, meta
+                )
+            self.log.log(
+                "ckpt_save", kind=kind, backend="orbax", step=step,
+                mode="async" if self.cfg.train.checkpoint_async else "sync",
+                blocked_s=round(time.perf_counter() - t0, 4),
             )
             if kind != "best" and keep > 0:
                 prune_orbax_checkpoints(
@@ -510,6 +526,13 @@ class Trainer:
                 protect=(self.best_ckpt_path,) if self.best_ckpt_path else (),
             )
         return path
+
+    def _orbax_saver(self):
+        if getattr(self, "_orbax_saver_inst", None) is None:
+            from ..utils.orbax_ckpt import OrbaxAsyncSaver
+
+            self._orbax_saver_inst = OrbaxAsyncSaver()
+        return self._orbax_saver_inst
 
     def resume(self, step: Optional[int] = None) -> bool:
         """Requeue-style resume (reference ``__load_previous_states``,
@@ -762,6 +785,9 @@ class Trainer:
         self._join_validation()
         profiler.close(sync=None if last_metrics is None else last_metrics["loss"])
         self._checkpointer.wait()
+        if getattr(self, "_orbax_saver_inst", None) is not None:
+            # finalize the last async orbax save (meta.json + barrier)
+            self._orbax_saver_inst.wait()
         if cfg.train.post_step_bench > 0 and last_metrics is not None:
             # still under the watchdog: the bench issues device calls + a
             # host fetch, which can hit the same relay wedge as any step

@@ -23,24 +23,11 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 
 
-def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
-    """Write ``tree`` to the directory ``path`` (should end in ``.orbax``).
-
-    Multi-host: EVERY process must call this at the same point (orbax
-    coordinates internally; each host persists only the shards its devices
-    own). meta.json — which doubles as the finalization marker
-    ``latest_orbax_checkpoint`` keys on — is written by process 0 only,
-    with a cross-host barrier so no process can observe (or prune around)
-    a checkpoint whose marker hasn't landed."""
-    import jax
-
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
-    ckptr.close()
+def _finalize_meta(path: str, meta: Dict[str, Any]) -> None:
+    """Write meta.json — which doubles as the finalization marker
+    ``latest_orbax_checkpoint`` keys on — from process 0 only, with a
+    cross-host barrier so no process can observe (or prune around) a
+    checkpoint whose marker hasn't landed."""
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -48,7 +35,87 @@ def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_meta:{os.path.basename(path)}")
+
+
+def save_checkpoint_orbax(path: str, tree: Any, meta: Dict[str, Any]) -> str:
+    """Synchronous write of ``tree`` to the directory ``path`` (should end
+    in ``.orbax``); blocks through the full disk write.
+
+    Multi-host: EVERY process must call this at the same point (orbax
+    coordinates internally; each host persists only the shards its devices
+    own)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+    _finalize_meta(path, meta)
     return path
+
+
+class OrbaxAsyncSaver:
+    """Async orbax writes with deferred meta.json finalization.
+
+    ``save`` blocks only for the device->host snapshot (orbax's async path
+    copies arrays to host before returning, so the train step may donate
+    the state buffers immediately after); serialization + disk IO run in
+    orbax's background thread. The meta.json finalization marker is written
+    at the next ``wait`` — the next save, a best-checkpoint blocking save,
+    or end of training — so a crash mid-write leaves the directory
+    invisible to ``latest_orbax_checkpoint``, exactly like the sync path.
+
+    One save is in flight at a time (a second ``save`` first finalizes the
+    previous one — by then its disk write has long landed, so the wait is
+    ~free).
+
+    Multi-host: every method is a COLLECTIVE — call at the same program
+    point on every process (the Trainer only calls at identical step
+    boundaries). Both orbax's internal finalize and the meta barrier
+    coordinate across processes.
+    """
+
+    def __init__(self):
+        self._ckptr = None
+        self._pending: Optional[Tuple[str, Dict[str, Any]]] = None
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        if self._ckptr is None:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        return self._ckptr
+
+    def save(self, path: str, tree: Any, meta: Dict[str, Any],
+             block: bool = False) -> str:
+        import orbax.checkpoint as ocp
+
+        self.wait()
+        path = os.path.abspath(path)
+        self._checkpointer().save(
+            path, args=ocp.args.StandardSave(tree), force=True
+        )
+        self._pending = (path, meta)
+        if block:
+            self.wait()
+        return path
+
+    def wait(self) -> None:
+        """Finalize the in-flight save (if any): block until orbax commits
+        the directory, then land meta.json (+ barrier on multi-host)."""
+        if self._pending is None:
+            return
+        path, meta = self._pending
+        self._pending = None
+        self._checkpointer().wait_until_finished()
+        _finalize_meta(path, meta)
+
+    def close(self) -> None:
+        self.wait()
+        if self._ckptr is not None:
+            self._ckptr.close()
+            self._ckptr = None
 
 
 def load_checkpoint_orbax(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:

@@ -26,7 +26,7 @@ def test_two_process_training_matches_single():
     assert "MATCH" in result.stdout
 
 
-@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S"])
+@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S", "K"])
 def test_production_trainer_multihost(scenario):
     """The REAL Trainer + train CLI across 2 jax.distributed processes
     (tools/multihost_trainer_check.py):
@@ -44,7 +44,9 @@ def test_production_trainer_multihost(scenario):
     X: auto-cache demotion decided identically on every host
        (coordinator-broadcast verdict);
     S: Adam (production default) cross-topology statistical equivalence:
-       topology noise << seed noise, final EERs agree.
+       topology noise << seed noise, final EERs agree;
+    K: async orbax periodic saves block the train loop well below the sync
+       path, loss stream identical, requeue from async checkpoints works.
     """
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     result = subprocess.run(

@@ -637,6 +637,42 @@ def test_orbax_roundtrip_sharded_state(tmp_path):
     assert left == ["m_7.orbax", "m_best_3.orbax"]
 
 
+def test_orbax_async_saver_defers_finalization(tmp_path):
+    """OrbaxAsyncSaver: the meta.json finalization marker lands only at
+    wait() — an in-flight (or crashed) save is invisible to
+    latest_orbax_checkpoint, exactly like the sync path; block=True keeps
+    best-checkpoint blocking semantics; restored bytes are exact."""
+    pytest.importorskip("orbax.checkpoint")
+    from doubleattentionspeakerverification_tpu.utils.orbax_ckpt import (
+        OrbaxAsyncSaver,
+        latest_orbax_checkpoint,
+        load_checkpoint_orbax,
+    )
+
+    cfg = _tiny_cfg(tmp_path, n_spk=8)
+    params, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(params, ms, cfg)
+    out = str(tmp_path / "ck")
+
+    saver = OrbaxAsyncSaver()
+    p1 = saver.save(f"{out}/m_2.orbax", state, {"step": 2})
+    # not finalized yet: meta.json is deferred to wait(), so the dir must
+    # not be visible as a resume target
+    assert latest_orbax_checkpoint(out) is None
+    saver.wait()
+    assert latest_orbax_checkpoint(out) == os.path.abspath(f"{out}/m_2.orbax")
+
+    # blocking save (best-checkpoint semantics) finalizes before returning
+    p2 = saver.save(f"{out}/m_best_4.orbax", state, {"step": 4}, block=True)
+    assert os.path.exists(os.path.join(p2, "meta.json"))
+
+    restored, meta = load_checkpoint_orbax(p1, state)
+    assert meta["step"] == 2
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    saver.close()
+
+
 def test_trainer_orbax_backend_resume(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     _make_dataset(tmp_path)

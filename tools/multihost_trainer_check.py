@@ -30,7 +30,10 @@ and verifies against single-process runs:
      production default) tracks the same-seed single-process trajectory far
      closer than a seed change moves it, with early steps tight and final
      EERs agreeing (the only divergence source is +-lr sign flips of
-     near-zero gradients under reduction-order rounding).
+     near-zero gradients under reduction-order rounding);
+  K. async orbax periodic saves: train-loop block per save well below the
+     sync path's, loss stream bit-identical, requeue from async-written
+     checkpoints intact.
 
 The reference's only parallelism is single-node DataParallel
 (``scripts/train.py:68-70``); none of this exists there.
@@ -442,13 +445,50 @@ def scenario_S(root: str) -> None:
                   _eers(_events(outs["s0"])), tol=0.51)
 
 
-def orchestrate(which: str = "ABCDWXS") -> int:
+def scenario_K(root: str) -> None:
+    """Async orbax checkpointing (VERDICT r4 #2): periodic saves must not
+    stall the 2-process train loop for the full disk write. Runs the same
+    2-process config with --checkpoint_async (default) and
+    --no-checkpoint_async, asserts (1) identical loss streams (the save
+    path must not perturb training), (2) the async per-save train-loop
+    block is well below the sync one, and prints both for
+    docs/PERFORMANCE.md."""
+    print("[K] async vs sync 2-process orbax periodic-save stall")
+    async_out = os.path.join(root, "K_async")
+    sync_out = os.path.join(root, "K_sync")
+    args = dict(optimizer="SGD", validate_every=0)
+    _launch_multi(2, 2, train_argv(root, async_out, 2, False, **args))
+    _launch_multi(2, 2, train_argv(root, sync_out, 2, False, **args,
+                                   extra=["--no-checkpoint_async"]))
+    ae, se = _events(async_out), _events(sync_out)
+    _assert_close("losses (async==sync)", _losses(ae), _losses(se), tol=0.0)
+
+    def blocked(events, mode):
+        evs = [e for e in events if e["event"] == "ckpt_save"
+               and e["kind"] == "periodic"]
+        assert evs and all(e["mode"] == mode for e in evs), (mode, evs)
+        return [e["blocked_s"] for e in evs]
+
+    b_async, b_sync = blocked(ae, "async"), blocked(se, "sync")
+    med_a = float(np.median(b_async))
+    med_s = float(np.median(b_sync))
+    print(f"  periodic-save train-loop block: async median {med_a * 1e3:.1f} ms"
+          f" vs sync median {med_s * 1e3:.1f} ms ({len(b_async)} saves each)")
+    assert med_a < 0.5 * med_s, (
+        f"async periodic save blocks {med_a:.4f}s, not clearly below "
+        f"sync {med_s:.4f}s")
+    # requeue from the async run's (finalized) checkpoints still works
+    _launch_multi(2, 2, train_argv(root, async_out, 3, True, **args))
+    print("  requeue from async-written checkpoints ok")
+
+
+def orchestrate(which: str = "ABCDWXSK") -> int:
     root = tempfile.mkdtemp(prefix="multihost_trainer_")
     make_corpus(root)
     for name in which:
         {"A": scenario_A, "B": scenario_B, "C": scenario_C,
          "D": scenario_D, "W": scenario_W, "X": scenario_X,
-         "S": scenario_S}[name](root)
+         "S": scenario_S, "K": scenario_K}[name](root)
     print("MATCH")
     return 0
 
@@ -460,5 +500,5 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "single":
         run_single(int(sys.argv[2]), sys.argv[3:])
     else:
-        which = sys.argv[1] if len(sys.argv) > 1 else "ABCDWXS"
+        which = sys.argv[1] if len(sys.argv) > 1 else "ABCDWXSK"
         raise SystemExit(orchestrate(which))
