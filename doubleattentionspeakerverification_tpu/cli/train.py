@@ -63,6 +63,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             checkpoint_every=params.checkpoint_every,
             checkpoint_backend=params.checkpoint_backend,
             checkpoint_async=params.checkpoint_async,
+            preempt_sync_every=params.preempt_sync_every,
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
             device_prefetch=params.device_prefetch,
@@ -198,6 +199,10 @@ def make_parser() -> argparse.ArgumentParser:
                              "snapshot; disk IO runs off the train loop "
                              "(best-EER saves always block). "
                              "--no-checkpoint_async = fully synchronous")
+    parser.add_argument("--preempt_sync_every", type=int, default=10,
+                        help="multi-host: agree on a SIGTERM graceful-stop "
+                             "verdict every N steps (one tiny collective); "
+                             "single-host checks the flag every step free")
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--stall_exit_s", type=float, default=0.0,
                         help="exit(17) after this many seconds without a "
@@ -332,7 +337,30 @@ def main(argv=None) -> int:
         )
     else:
         logger = MetricLogger(stream=open(os.devnull, "w"))
+    # Graceful preemption: SIGTERM (TPU-pod preemption notice, slurm
+    # timeout) requests a coordinated checkpoint-and-exit instead of dying
+    # mid-epoch (trainer.request_stop -> agreed step boundary -> finalized
+    # checkpoint -> exit 0; --requeue then continues with ~0 lost steps).
+    # Installed BEFORE construction so a signal during the first compile is
+    # not lost; SIGINT keeps its default (Ctrl-C = hard stop).
+    stop_box: dict = {}
+
+    def _on_sigterm(signum, frame):
+        t = stop_box.get("trainer")
+        if t is not None:
+            t.request_stop("SIGTERM")
+        else:
+            stop_box["early"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted environment
+
     trainer = Trainer(cfg, logger=logger, host_id=host_id, num_hosts=num_hosts)
+    stop_box["trainer"] = trainer
+    if stop_box.get("early"):
+        trainer.request_stop("SIGTERM (during construction)")
     if params.resume_step is not None:
         if not trainer.resume(step=params.resume_step):
             print(f"no checkpoint at step {params.resume_step} in {cfg.out_dir}")

@@ -148,6 +148,18 @@ class TrainConfig:
     # before calling train() should keep this 0 and rely on the log-only
     # watchdog, or construct right before training.
     stall_exit_s: float = 0.0
+    # Graceful preemption (SIGTERM/SIGINT from the scheduler): the signal
+    # requests a coordinated stop — every host agrees on the same step
+    # boundary, saves a checkpoint AT that step (fully finalized before
+    # exit), and the process exits 0 so --requeue continues with ~0 lost
+    # steps. The reference's slurm requeue instead rolls back to the last
+    # best-EER checkpoint (train.py:31-49), losing all work since. On
+    # multi-host runs the stop verdict is all-gathered every
+    # preempt_sync_every steps (only one host may receive the signal; the
+    # agreement collective keeps step counters in lockstep) — one tiny
+    # collective + host fetch per interval. Single-host checks the local
+    # flag every step for free. 0 disables the multi-host agreement.
+    preempt_sync_every: int = 10
     # Static promise that every training window is full-length (all files
     # >= window_size seconds): drops the masking ops from the compiled step
     # (~3.5% faster). The loader verifies the promise per batch.

@@ -342,19 +342,26 @@ class TrainLoader:
             "labels": labels.reshape(g, b),
         }
 
-    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(
+        self, epoch_idx: int, start_step: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
         """Iterate one epoch with deterministic shuffling + prefetch thread.
 
         ``DataConfig.num_workers`` (the reference DataLoader's knob,
         ``train.py:78``) sets how many threads assemble batches in parallel;
         every draw derives from (seed, epoch, step, global row), so the
         output stream is identical for any worker count and any host count.
+
+        ``start_step`` skips the first in-epoch steps exactly (each step's
+        draws are keyed by its own step index, so the remainder of the
+        stream is bit-identical to an uninterrupted epoch) — the mid-epoch
+        resume path after a graceful-preemption checkpoint.
         """
         shuffle_rng = np.random.default_rng((self.seed, epoch_idx, 0xD47A))
         order = shuffle_rng.permutation(len(self.manifest))
         per_step = self.group * self.batch
         n_steps = len(order) // per_step
-        if n_steps == 0:
+        if n_steps == 0 or start_step >= n_steps:
             return
 
         q: queue.Queue = queue.Queue(maxsize=max(1, self.data_cfg.prefetch))
@@ -389,7 +396,7 @@ class TrainLoader:
         def producer():
             try:
                 if workers == 1:
-                    for s in range(n_steps):
+                    for s in range(start_step, n_steps):
                         if stop.is_set() or not safe_put(make_step(s)):
                             return
                 else:
@@ -398,7 +405,7 @@ class TrainLoader:
 
                     with ThreadPoolExecutor(max_workers=workers) as ex:
                         pending: deque = deque()
-                        next_s = 0
+                        next_s = start_step
                         # bounded in-flight submissions: queue maxsize bounds
                         # finished batches, this bounds unfinished ones
                         while (next_s < n_steps or pending) and not stop.is_set():

@@ -186,6 +186,10 @@ class Trainer:
         self._pending_val = None  # (thread, result_box, snapshot_state, epoch)
         self._checkpointer = AsyncCheckpointer()
         self._orbax_saver_inst = None  # lazy OrbaxAsyncSaver
+        self._stop_requested = False  # set by request_stop (signal handler)
+        self._stop_reason = ""
+        self.preempted = False  # train() exited via a graceful stop
+        self._resume_skip_steps = 0  # mid-epoch resume: in-epoch steps done
         if getattr(cfg.train, "requeue", False) or os.environ.get("DMHA_REQUEUE"):
             self.resume()
 
@@ -534,6 +538,51 @@ class Trainer:
             self._orbax_saver_inst = OrbaxAsyncSaver()
         return self._orbax_saver_inst
 
+    # ------------------------------------------------------------ preemption
+    def request_stop(self, reason: str = "signal") -> None:
+        """Request a graceful stop (SIGTERM handler entry point): the train
+        loop checkpoints at the next agreed step boundary and exits cleanly.
+        Safe from signal handlers/threads (a bool + str store)."""
+        self._stop_reason = reason
+        self._stop_requested = True
+
+    def _preempt_verdict(self, step: int) -> bool:
+        """Do all hosts agree to stop at this step boundary? Single-host:
+        the local flag, checked every step. Multi-host: only one host may
+        have received the signal, so the verdict is the OR of every host's
+        flag — an agreement collective every ``preempt_sync_every`` steps
+        (every host calls it at the same step, keeping collectives in
+        lockstep even when a host's own flag is still False)."""
+        if self.num_hosts == 1:
+            return self._stop_requested
+        every = self.cfg.train.preempt_sync_every
+        if every <= 0 or step % every != 0:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self._stop_requested else 0)
+        )
+        return bool(np.max(np.asarray(flags)) > 0)
+
+    def _graceful_stop(self, step: int) -> None:
+        """Coordinated preemption checkpoint: join any in-flight validation
+        (its bookkeeping, incl. a possible best save, must land first), save
+        a checkpoint AT the interrupt step, and block until it is fully
+        finalized — the process exits right after, and --requeue must find
+        it."""
+        self.log.log(
+            "preempt_stop", step=step,
+            reason=self._stop_reason or "peer-host signal",
+        )
+        self._join_validation()
+        path = self._save("periodic")
+        self._checkpointer.wait()
+        if getattr(self, "_orbax_saver_inst", None) is not None:
+            self._orbax_saver_inst.wait()
+        self.preempted = True
+        self.log.log("preempt_checkpoint", path=path, step=step)
+
     def resume(self, step: Optional[int] = None) -> bool:
         """Requeue-style resume (reference ``__load_previous_states``,
         ``train.py:31-49``) — newest checkpoint by default, or the one at an
@@ -566,11 +615,28 @@ class Trainer:
 
             state = shard_train_state(state, self.mesh)
         self.state = state
-        self.starting_epoch = int(meta.get("epoch", 0)) + 1
+        ckpt_epoch = int(meta.get("epoch", 0))
         self.best_eer = float(meta.get("best_eer", 50.0))
         self.stopping = int(meta.get("stopping", 0))
         self.best_ckpt_path = meta.get("best_ckpt_path") or self.best_ckpt_path
-        self.log.log("resume", path=path, step=int(self.state.step), epoch=self.starting_epoch)
+        # Mid-epoch checkpoints (graceful preemption, periodic saves) resume
+        # INSIDE their epoch: the loader's step streams are keyed by
+        # (seed, epoch, step), so skipping the already-consumed in-epoch
+        # steps continues the uninterrupted batch stream exactly. A
+        # checkpoint at an epoch boundary starts the next epoch (the
+        # pre-r5 — and reference, train.py:47 — semantics).
+        steps_per_epoch = self.loader.steps_per_epoch()
+        in_epoch = int(self.state.step) - ckpt_epoch * max(1, steps_per_epoch)
+        if 0 < in_epoch < steps_per_epoch:
+            self.starting_epoch = ckpt_epoch
+            self._resume_skip_steps = in_epoch
+        else:
+            self.starting_epoch = ckpt_epoch + 1
+            self._resume_skip_steps = 0
+        self.log.log(
+            "resume", path=path, step=int(self.state.step),
+            epoch=self.starting_epoch, in_epoch_skip=self._resume_skip_steps,
+        )
         return True
 
     def _find_step_checkpoint(self, step: int, suffix: str) -> Optional[str]:
@@ -678,7 +744,16 @@ class Trainer:
         self._dispatch_hint_logged = getattr(self, "_dispatch_hint_logged", False)
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
-            epoch_batches = self.loader.epoch(self.epoch)
+            # mid-epoch resume (graceful preemption): skip the in-epoch
+            # steps the checkpoint already consumed — the remainder of the
+            # batch stream is bit-identical to the uninterrupted epoch
+            epoch_batches = self.loader.epoch(
+                self.epoch,
+                start_step=(
+                    self._resume_skip_steps
+                    if self.epoch == self.starting_epoch else 0
+                ),
+            )
             if self.num_hosts > 1:
                 # assemble each host's row slice into global arrays; the
                 # transfer itself is process-local (no collective), so it is
@@ -775,6 +850,18 @@ class Trainer:
                 if cfg.train.checkpoint_every and step % cfg.train.checkpoint_every == 0:
                     self._save("periodic")
 
+                # graceful preemption: called UNCONDITIONALLY — on
+                # multi-host the verdict is an agreement collective that
+                # every host must enter at the same step, signal or not
+                if self._preempt_verdict(step):
+                    self._graceful_stop(step)
+                    break
+
+            if self.preempted:
+                # stop iterating cleanly (the prefetch/loader threads are
+                # daemons; close releases them now rather than at GC)
+                getattr(batches_it, "close", lambda: None)()
+                break
             # epoch-end decisions must see every validation launched this
             # epoch (reference semantics: validation is serial, train.py:158)
             self._join_validation()

@@ -26,7 +26,7 @@ def test_two_process_training_matches_single():
     assert "MATCH" in result.stdout
 
 
-@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S", "K"])
+@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S", "K", "P"])
 def test_production_trainer_multihost(scenario):
     """The REAL Trainer + train CLI across 2 jax.distributed processes
     (tools/multihost_trainer_check.py):
@@ -46,7 +46,10 @@ def test_production_trainer_multihost(scenario):
     S: Adam (production default) cross-topology statistical equivalence:
        topology noise << seed noise, final EERs agree;
     K: async orbax periodic saves block the train loop well below the sync
-       path, loss stream identical, requeue from async checkpoints works.
+       path, loss stream identical, requeue from async checkpoints works;
+    P: SIGTERM one worker mid-epoch -> coordinated checkpoint at the
+       interrupt step, both exit 0, --requeue resumes inside the epoch and
+       the loss stream equals an uninterrupted run bit-for-bit.
     """
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     result = subprocess.run(

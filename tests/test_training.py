@@ -593,6 +593,49 @@ def test_resume_restores_best_ckpt_path(tmp_path):
     assert t2.best_ckpt_path == t1.best_ckpt_path
 
 
+def test_graceful_stop_midepoch_resume_exact(tmp_path):
+    """Graceful preemption, single-host: request_stop mid-epoch -> a
+    finalized checkpoint AT the interrupt step, train() returns cleanly
+    (preempted=True); a fresh Trainer --requeue-style resume continues
+    INSIDE the epoch (loader start_step) and reaches the bit-identical
+    final state of an uninterrupted run. The reference's requeue instead
+    rolls back to the last best checkpoint (train.py:31-49)."""
+    import dataclasses
+
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, max_epochs=2, checkpoint_every=0)
+
+    t = Trainer(cfg)
+    orig_step = t.train_step
+    calls = {"n": 0}
+
+    def wrapped(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:  # signal lands during step 2 (3 steps/epoch)
+            t.request_stop("test-SIGTERM")
+        return orig_step(state, batch, rng)
+
+    t.train_step = wrapped
+    t.train()
+    assert t.preempted and int(t.state.step) == 2
+    ck = os.path.join(cfg.out_dir, f"{t.model_name}_2.npz")
+    assert os.path.exists(ck), os.listdir(cfg.out_dir)
+
+    t2 = Trainer(cfg)
+    assert t2.resume()
+    assert int(t2.state.step) == 2
+    assert t2.starting_epoch == 0 and t2._resume_skip_steps == 2
+    t2.train()
+    assert not t2.preempted and int(t2.state.step) == 6
+
+    full_cfg = dataclasses.replace(cfg, out_dir=str(tmp_path / "full"))
+    tf = Trainer(full_cfg)
+    tf.train()
+    assert int(tf.state.step) == 6
+    for a, b in zip(jax.tree.leaves(t2.state.params), jax.tree.leaves(tf.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # --------------------------------------------------------------- orbax backend
 def test_orbax_roundtrip_sharded_state(tmp_path):
     """Sharded train state round-trips through the orbax backend, restoring

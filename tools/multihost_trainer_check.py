@@ -33,7 +33,10 @@ and verifies against single-process runs:
      near-zero gradients under reduction-order rounding);
   K. async orbax periodic saves: train-loop block per save well below the
      sync path's, loss stream bit-identical, requeue from async-written
-     checkpoints intact.
+     checkpoints intact;
+  P. graceful preemption: SIGTERM one worker mid-epoch -> both hosts agree
+     at a step boundary, checkpoint AT the interrupt step (finalized), exit
+     0, --requeue resumes inside the epoch, loss stream == uninterrupted.
 
 The reference's only parallelism is single-node DataParallel
 (``scripts/train.py:68-70``); none of this exists there.
@@ -482,13 +485,87 @@ def scenario_K(root: str) -> None:
     print("  requeue from async-written checkpoints ok")
 
 
-def orchestrate(which: str = "ABCDWXSK") -> int:
+def scenario_P(root: str) -> None:
+    """Graceful preemption (VERDICT r4 #3): SIGTERM one of two workers
+    MID-EPOCH -> both hosts agree on the stop step (agreement collective),
+    save a coordinated checkpoint AT the interrupt step, exit 0 -> a fresh
+    --requeue run resumes INSIDE the epoch and the concatenated loss
+    stream equals an uninterrupted run bit-for-bit. The reference's slurm
+    requeue rolls back to the last best checkpoint (train.py:31-49),
+    losing everything since."""
+    import signal as _signal
+    import time
+
+    print("[P] SIGTERM mid-epoch -> coordinated checkpoint -> requeue continues")
+    pre_out = os.path.join(root, "P_pre")
+    full_out = os.path.join(root, "P_full")
+    # batch 2 x accum 2 over 32 files = 8 steps/epoch, 1 epoch: every
+    # interrupt at step 1..7 is MID-epoch (boundary only at 8); 1 device
+    # per process so batch 2 divides the 2-device data axis
+    args = dict(optimizer="SGD", validate_every=0, batch=2)
+    extra = ["--preempt_sync_every", "1", "--checkpoint_every", "0"]
+    _launch_multi(2, 1, train_argv(root, full_out, 1, False, **args,
+                                   extra=extra))
+    total = len(_losses(_events(full_out)))
+    assert total == 8, total
+
+    port = _free_port()
+    base = {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    argv = train_argv(root, pre_out, 1, False, **args, extra=extra)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker", str(i),
+             "2", str(port), "1"] + argv,
+            env=base,
+            stdout=subprocess.DEVNULL if i else None,
+            stderr=subprocess.STDOUT if i else None,
+        )
+        for i in range(2)
+    ]
+    # SIGTERM worker 1 (the NON-logging host: the stop must propagate to
+    # host 0 through the agreement collective) once training has started
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        try:
+            if len(_losses(_events(pre_out))) >= 2:
+                break
+        except Exception:
+            pass
+        time.sleep(0.25)
+    procs[1].send_signal(_signal.SIGTERM)
+    rcs = [p.wait(timeout=600) for p in procs]
+    assert rcs == [0, 0], f"preempted run must exit 0 on every host: {rcs}"
+
+    ev = _events(pre_out)
+    stops = [e for e in ev if e["event"] == "preempt_stop"]
+    cks = [e for e in ev if e["event"] == "preempt_checkpoint"]
+    assert stops and cks, "no preempt events logged"
+    k = int(cks[0]["step"])
+    assert 0 < k < total, f"interrupt step {k} not mid-run"
+    assert k % 8 != 0, f"interrupt step {k} landed on an epoch boundary"
+    ck_path = cks[0]["path"]
+    assert os.path.isdir(ck_path) and os.path.exists(
+        os.path.join(ck_path, "meta.json")
+    ), f"checkpoint at the interrupt step not finalized: {ck_path}"
+    assert ck_path.endswith(f"_{k}.orbax"), (ck_path, k)
+    print(f"  SIGTERM at step {k}/8 (mid-epoch), checkpoint finalized, rc 0+0")
+
+    _launch_multi(2, 1, train_argv(root, pre_out, 1, True, **args, extra=extra))
+    resumes = [e for e in _events(pre_out) if e["event"] == "resume"]
+    assert resumes and int(resumes[-1]["in_epoch_skip"]) == k, resumes
+    _assert_close("losses (preempt+requeue == uninterrupted)",
+                  _losses(_events(pre_out)), _losses(_events(full_out)),
+                  tol=0.0)
+
+
+def orchestrate(which: str = "ABCDWXSKP") -> int:
     root = tempfile.mkdtemp(prefix="multihost_trainer_")
     make_corpus(root)
     for name in which:
         {"A": scenario_A, "B": scenario_B, "C": scenario_C,
          "D": scenario_D, "W": scenario_W, "X": scenario_X,
-         "S": scenario_S, "K": scenario_K}[name](root)
+         "S": scenario_S, "K": scenario_K, "P": scenario_P}[name](root)
     print("MATCH")
     return 0
 
@@ -500,5 +577,5 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "single":
         run_single(int(sys.argv[2]), sys.argv[3:])
     else:
-        which = sys.argv[1] if len(sys.argv) > 1 else "ABCDWXSK"
+        which = sys.argv[1] if len(sys.argv) > 1 else "ABCDWXSKP"
         raise SystemExit(orchestrate(which))
