@@ -26,7 +26,7 @@ def test_two_process_training_matches_single():
     assert "MATCH" in result.stdout
 
 
-@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S", "K", "P"])
+@pytest.mark.parametrize("scenario", ["A", "B", "C", "D", "W", "X", "S", "K", "P", "T"])
 def test_production_trainer_multihost(scenario):
     """The REAL Trainer + train CLI across 2 jax.distributed processes
     (tools/multihost_trainer_check.py):
@@ -49,7 +49,10 @@ def test_production_trainer_multihost(scenario):
        path, loss stream identical, requeue from async checkpoints works;
     P: SIGTERM one worker mid-epoch -> coordinated checkpoint at the
        interrupt step, both exit 0, --requeue resumes inside the epoch and
-       the loss stream equals an uninterrupted run bit-for-bit.
+       the loss stream equals an uninterrupted run bit-for-bit;
+    T: topology-change resume (pod resize): 2proc->1proc, 1proc->2proc,
+       and cross-process model-parallel->1proc orbax restores all continue
+       the uninterrupted loss stream.
     """
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     result = subprocess.run(

@@ -716,6 +716,66 @@ def test_orbax_async_saver_defers_finalization(tmp_path):
     saver.close()
 
 
+def test_npz_orbax_migration_resume(tmp_path):
+    """cli/convert_checkpoint migrates checkpoints between backends
+    losslessly in BOTH directions, and training resumes from the converted
+    checkpoint with the bit-identical final state of an uninterrupted run
+    (the single-host npz -> multi-host-capable orbax pod-resize path)."""
+    import dataclasses
+
+    pytest.importorskip("orbax.checkpoint")
+    from doubleattentionspeakerverification_tpu.cli.convert_checkpoint import main as conv
+
+    _make_dataset(tmp_path)
+    cfg = _tiny_cfg(tmp_path, max_epochs=1, checkpoint_every=0)
+    t1 = Trainer(cfg)
+    t1.train()
+    steps = int(t1.state.step)
+    t1._save("periodic")  # npz
+    t1._checkpointer.wait()
+    npz = os.path.join(cfg.out_dir, f"{t1.model_name}_{steps}.npz")
+    assert os.path.exists(npz)
+
+    # npz -> orbax (default output name swaps the suffix)
+    assert conv(["--input", npz]) == 0
+    orbax_dir = npz[: -len(".npz")] + ".orbax"
+    assert os.path.isdir(orbax_dir)
+
+    # resume the migrated checkpoint under the orbax backend; continued
+    # training reaches the same state as continuing under npz
+    cfg_o = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, checkpoint_backend="orbax", max_epochs=2
+        )
+    )
+    t2 = Trainer(cfg_o)
+    assert t2.resume() and int(t2.state.step) == steps
+    t2.train()
+
+    cfg_n = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, max_epochs=2)
+    )
+    t3 = Trainer(cfg_n)
+    assert t3.resume() and int(t3.state.step) == steps
+    t3.train()
+    assert int(t2.state.step) == int(t3.state.step) > steps
+    for a, b in zip(jax.tree.leaves(t2.state), jax.tree.leaves(t3.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and back: orbax -> npz round-trips every leaf bit-exactly
+    back = str(tmp_path / "back.npz")
+    assert conv(["--input", orbax_dir, "--output", back]) == 0
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import (
+        load_train_state_any,
+    )
+
+    s_back, meta_back, _ = load_train_state_any(back)
+    s_orig, meta_orig, _ = load_train_state_any(npz)
+    assert meta_back["step"] == meta_orig["step"]
+    for a, b in zip(jax.tree.leaves(s_back), jax.tree.leaves(s_orig)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_orbax_backend_resume(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     _make_dataset(tmp_path)
