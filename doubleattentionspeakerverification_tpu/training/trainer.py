@@ -244,6 +244,12 @@ class Trainer:
                     f"working set {est_mb:.0f} MB vs {budget_mb:.0f} MB budget "
                     "(LRU thrash would recompute full utterances per window)"
                 )
+        # remember the RESOLVED mode (auto decision + demotion applied):
+        # validation must extract features with the same DSP implementation
+        # training uses (host C++/numpy kernel vs XLA device DSP differ by
+        # ~8e-5 per feature — almost certainly immaterial to EER, but the
+        # reference-grid EER rounds at 4 dp, so the two streams must not mix)
+        self._resolved_source_mode = mode
         if cfg.data.source == "wav":
             from ..config import auto_wav_mode
 
@@ -319,9 +325,21 @@ class Trainer:
         if cfg.data.source == "wav":
             from ..evaluation.embeddings import wav_feature_loader
 
+            # follow the RESOLVED training DSP path, not the explicit flag:
+            # a wav-auto run that trains on host-DSP (or cached host-DSP)
+            # features must validate with the same extractor implementation
+            # (_load_data stores the post-auto/post-demotion mode)
+            host_dsp = cfg.data.host_dsp or getattr(
+                self, "_resolved_source_mode", ""
+            ) in ("wav_host_dsp", "wav_cache")
             loader = wav_feature_loader(
                 cfg.data.valid_data_dir, cfg.features, cfg.train.normalization,
-                host_dsp=cfg.data.host_dsp,
+                host_dsp=host_dsp,
+            )
+            self.log.log(
+                "valid_loader",
+                host_dsp=bool(host_dsp),
+                train_mode=getattr(self, "_resolved_source_mode", "features"),
             )
         else:
             loader = pickle_feature_loader(cfg.data.valid_data_dir, cfg.train.normalization)

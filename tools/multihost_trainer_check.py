@@ -428,6 +428,13 @@ def scenario_W(root: str) -> None:
     assert modes and modes[0]["mode"] == "wav_cache", modes
     assert modes[0]["cache_mb"] == 2000.0, modes  # process 0's budget, pinned
     assert "coordinator broadcast" in modes[0]["reason"], modes
+    # validation must extract with the same DSP implementation training
+    # resolved to (host DSP under the pinned cache mode), not the explicit
+    # --host_dsp flag (VERDICT r4 #5)
+    for name, events in (("single", se), ("multi", me)):
+        vl = [e for e in events if e["event"] == "valid_loader"]
+        assert vl and vl[0]["host_dsp"] and vl[0]["train_mode"] == "wav_cache", (
+            name, vl)
 
 
 def scenario_X(root: str) -> None:
