@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     parser.add_argument("--max_body_mb", type=float, default=64.0,
                         help="reject POST bodies larger than this (HTTP 413) "
                              "before buffering them")
+    parser.add_argument("--max_pending", type=int, default=512,
+                        help="load-shed bound: once this many requests are "
+                             "waiting, new ones get HTTP 503 + Retry-After "
+                             "immediately (0 = unbounded). Bounds memory and "
+                             "tail latency under client floods")
     parser.add_argument("--enrollment_db", type=str, default=None,
                         help="persist speaker enrollments to this .npz "
                              "(loaded at startup, written on every change)")
@@ -87,7 +92,8 @@ def main(argv=None) -> int:
                          enrollment_db=params.enrollment_db,
                          verify_threshold=params.verify_threshold,
                          pipeline=params.pipeline,
-                         max_body_mb=params.max_body_mb)
+                         max_body_mb=params.max_body_mb,
+                         max_pending=params.max_pending)
     if params.warmup:
         lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
         print(f"warming up buckets for frame lengths {lengths} ...")

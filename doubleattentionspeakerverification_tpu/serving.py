@@ -54,6 +54,14 @@ class AudioTooLong(ValueError):
     """Upload longer than the largest serving length bucket (HTTP 413)."""
 
 
+class ServerOverloaded(RuntimeError):
+    """Load shed: the batcher's pending-request bound is full (HTTP 503 +
+    Retry-After). Shedding at admission keeps memory and tail latency
+    bounded under a client flood — queueing unboundedly ahead of a
+    ~10 ms/forward chip would grow RAM and p99 without limit while every
+    queued client eventually times out anyway."""
+
+
 class _Pending:
     __slots__ = ("feats", "event", "result", "error", "created")
 
@@ -82,6 +90,7 @@ class MicroBatcher:
         buckets: Sequence[int] = SERVE_BUCKETS,
         embed_timeout_s: float = 600.0,
         pipeline: int = 2,
+        max_pending: int = 512,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -90,6 +99,12 @@ class MicroBatcher:
         # default generous: the FIRST request per length bucket waits out an
         # XLA compile (~2 min on TPU), and requests queued behind it wait too
         self.embed_timeout_s = embed_timeout_s
+        # admission bound: embed() raises ServerOverloaded once this many
+        # clients are already waiting (0 = unbounded). 512 ~= 32 full
+        # forwards of backlog at the default max_batch — deep enough to
+        # ride bursts, shallow enough that shed clients get their 503 in
+        # microseconds instead of a timeout minutes later.
+        self.max_pending = max_pending
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         # `pending` is a live gauge of CLIENTS CURRENTLY WAITING in embed():
         # /health exposing it lets ops — and the robustness tests — assert
@@ -98,7 +113,7 @@ class MicroBatcher:
         # the worker. `errors` counts requests that ended with an exception
         # delivered to the client, timeouts included.
         self._stats = {"requests": 0, "forwards": 0, "batched": 0,
-                       "pending": 0, "errors": 0}
+                       "pending": 0, "errors": 0, "shed": 0}
         self._stats_lock = threading.Lock()
         # `pipeline` forwards may be in flight at once: the collector keeps
         # assembling the next batch while earlier forwards wait out their
@@ -138,6 +153,13 @@ class MicroBatcher:
             )
         p = _Pending(feats)
         with self._stats_lock:
+            if self.max_pending and self._stats["pending"] >= self.max_pending:
+                # shed at admission: nothing is queued, nothing leaks
+                self._stats["shed"] += 1
+                raise ServerOverloaded(
+                    f"{self._stats['pending']} requests already pending "
+                    f"(bound {self.max_pending}); retry shortly"
+                )
             self._stats["pending"] += 1
         try:
             self._q.put(p)
@@ -389,10 +411,12 @@ def make_server(
     verify_threshold: float = 0.5,
     pipeline: int = 2,
     max_body_mb: float = 64.0,
+    max_pending: int = 512,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                           embed_timeout_s=embed_timeout_s, pipeline=pipeline)
+                           embed_timeout_s=embed_timeout_s, pipeline=pipeline,
+                           max_pending=max_pending)
     db = EnrollmentDB(enrollment_db)
     t0 = time.time()
 
@@ -411,11 +435,13 @@ def make_server(
         def log_message(self, *args):  # quiet; metrics live in /health
             pass
 
-        def _json(self, code: int, obj) -> None:
+        def _json(self, code: int, obj, headers=()) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -525,6 +551,11 @@ def make_server(
                     self._json(404, {"error": f"unknown path {path}"})
             except AudioTooLong as e:
                 self._json(413, {"error": f"{type(e).__name__}: {e}"})
+            except ServerOverloaded as e:
+                # load shed at admission: tell the client when to retry
+                # (one batching window + one forward's worth of backoff)
+                self._json(503, {"error": f"{type(e).__name__}: {e}"},
+                           headers=(("Retry-After", "1"),))
             except TimeoutError as e:
                 # server-side saturation, not a client mistake
                 self._json(503, {"error": f"{type(e).__name__}: {e}"})

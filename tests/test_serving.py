@@ -161,7 +161,7 @@ def test_microbatcher_warmup(model):
         batcher.warmup([50, 60, 100])  # buckets 64 and 128
         s = batcher.stats()
         assert s == {"requests": 0, "forwards": 0, "batched": 0,
-                     "pending": 0, "errors": 0}  # counters reset
+                     "pending": 0, "errors": 0, "shed": 0}  # counters reset
         # post-warmup request works and counts normally
         batcher.embed(_feats(40))
         assert batcher.stats()["requests"] == 1
@@ -350,6 +350,176 @@ def test_microbatcher_concurrency_soak(model):
         s = batcher.stats()
         assert s["requests"] >= n_threads * per_thread
         assert s["forwards"] < s["requests"]  # batching actually happened
+    finally:
+        batcher.close()
+
+
+# --------------------------------------------------------- backpressure
+# (VERDICT r4 #6) Nothing used to bound the pending queue: a client flood
+# queued unboundedly ahead of a ~10 ms/forward chip. max_pending sheds at
+# admission (ServerOverloaded -> HTTP 503 + Retry-After).
+
+
+class _SlowModel:
+    """Delegates to the real model with an artificial per-forward delay, so
+    offered load can exceed capacity deterministically on CPU."""
+
+    def __init__(self, model, delay_s=0.15):
+        self._model = model
+        self.cfg = model.cfg
+        self.delay_s = delay_s
+
+    def embed_features(self, x, lengths=None):
+        import time as _time
+
+        _time.sleep(self.delay_s)
+        return self._model.embed_features(x, lengths)
+
+
+def test_backpressure_sheds_and_leaks_nothing(model):
+    """Flood past max_pending: excess admissions raise ServerOverloaded
+    immediately, the pending gauge never exceeds the bound, admitted
+    requests all complete correctly, and the gauge returns to 0."""
+    from doubleattentionspeakerverification_tpu.serving import ServerOverloaded
+
+    batcher = MicroBatcher(_SlowModel(model), max_batch=2, max_wait_ms=1.0,
+                           buckets=(64,), pipeline=1, max_pending=4)
+    try:
+        batcher.embed(_feats(50), timeout=120)  # compile outside the flood
+        n = 16
+        outcomes = []
+        lock = threading.Lock()
+        peak = [0]
+
+        def client(i):
+            try:
+                got = batcher.embed(_feats(50, seed=1), timeout=60)
+                ok = np.allclose(
+                    got,
+                    model.embed_features(
+                        _feats(50, seed=1)[None], np.array([50], np.int32)
+                    )[0],
+                    atol=1e-5,
+                )
+                with lock:
+                    outcomes.append("ok" if ok else "bad-value")
+            except ServerOverloaded:
+                with lock:
+                    outcomes.append("shed")
+            except Exception as e:
+                with lock:
+                    outcomes.append(repr(e))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+        for th in threads:
+            th.start()
+        # sample the gauge while the flood drains
+        for _ in range(200):
+            peak[0] = max(peak[0], batcher.stats()["pending"])
+            if all(not th.is_alive() for th in threads):
+                break
+            import time as _time
+
+            _time.sleep(0.01)
+        for th in threads:
+            th.join(timeout=120)
+        s = batcher.stats()
+        counts = {o: outcomes.count(o) for o in set(outcomes)}
+        assert set(counts) <= {"ok", "shed"}, counts
+        assert counts.get("shed", 0) >= 1, counts    # the flood DID shed
+        assert counts.get("ok", 0) >= 4, counts      # bounded work completed
+        assert counts.get("ok", 0) + counts.get("shed", 0) == n
+        assert peak[0] <= 4, f"pending gauge exceeded the bound: {peak[0]}"
+        assert s["pending"] == 0 and s["shed"] == counts.get("shed", 0), s
+    finally:
+        batcher.close()
+
+
+def test_http_503_retry_after_when_overloaded(model):
+    """The HTTP layer maps ServerOverloaded to 503 with a Retry-After
+    header; once load drains, the same request succeeds."""
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0,
+                         max_pending=2)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        body = _wav_bytes(seconds=0.3)
+        # deterministically saturate the admission bound
+        with server.batcher._stats_lock:
+            server.batcher._stats["pending"] = 2
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/embed", data=body)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After") == "1"
+        assert "Overloaded" in json.loads(ei.value.read())["error"]
+        with server.batcher._stats_lock:
+            server.batcher._stats["pending"] = 0
+            server.batcher._stats["shed"] = 0
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["embedding"]) == TINY.model.embedding_size
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_backpressure_soak_bounded_p99(model):
+    """4x-capacity offered load with retry-on-shed: every request either
+    completes or sheds, the pending gauge stays within the bound (bounded
+    memory), and the p99 of ADMITTED requests stays bounded by the queue
+    depth x service time — load shedding converts unbounded queueing delay
+    into fast 503s."""
+    from doubleattentionspeakerverification_tpu.serving import ServerOverloaded
+
+    delay = 0.05
+    batcher = MicroBatcher(_SlowModel(model, delay_s=delay), max_batch=2,
+                           max_wait_ms=1.0, buckets=(64,), pipeline=1,
+                           max_pending=8)
+    try:
+        batcher.embed(_feats(50), timeout=120)  # compile
+        # capacity ~= max_batch / delay = 40 req/s; 16 zero-think clients
+        # of ~10 req each offer far beyond that
+        n_threads, per_thread = 16, 10
+        lat, outcomes = [], []
+        lock = threading.Lock()
+
+        def client(tid):
+            import time as _time
+
+            for _ in range(per_thread):
+                t0 = _time.perf_counter()
+                try:
+                    batcher.embed(_feats(50, seed=2), timeout=60)
+                    with lock:
+                        lat.append(_time.perf_counter() - t0)
+                        outcomes.append("ok")
+                except ServerOverloaded:
+                    with lock:
+                        outcomes.append("shed")
+                    _time.sleep(0.02)  # client backoff (Retry-After analog)
+                except Exception as e:
+                    with lock:
+                        outcomes.append(repr(e))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not any(th.is_alive() for th in threads), "soak deadlocked"
+        counts = {o: outcomes.count(o) for o in set(outcomes)}
+        assert set(counts) <= {"ok", "shed"}, counts
+        assert counts.get("ok", 0) >= 32 and counts.get("shed", 0) >= 1, counts
+        s = batcher.stats()
+        assert s["pending"] == 0, s
+        lat.sort()
+        p99 = lat[int(len(lat) * 0.99)]
+        # an admitted request waits at most ~max_pending/max_batch forwards
+        # plus its own; generous 4x slack for CPU-CI scheduling noise
+        assert p99 < 4 * (8 / 2 + 1) * delay + 1.0, (p99, counts)
     finally:
         batcher.close()
 

@@ -39,6 +39,10 @@ def main() -> int:
                     help="overlapping in-flight forwards (MicroBatcher pipeline depth)")
     ap.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
                     help="serve the int8 conv encoder (cli/serve.py --quantize int8)")
+    ap.add_argument("--max_pending", type=int, default=0,
+                    help="admission bound (0 = unbounded): shed requests get "
+                         "an immediate ServerOverloaded; clients here back "
+                         "off 20 ms and retry, and the shed count is reported")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +63,10 @@ def main() -> int:
         ExperimentConfig,
         ModelConfig,
     )
-    from doubleattentionspeakerverification_tpu.serving import MicroBatcher
+    from doubleattentionspeakerverification_tpu.serving import (
+        MicroBatcher,
+        ServerOverloaded,
+    )
 
     if args.smoke:
         cfg = ExperimentConfig(
@@ -77,6 +84,7 @@ def main() -> int:
     batcher = MicroBatcher(
         model, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         buckets=buckets, pipeline=args.pipeline,
+        max_pending=args.max_pending,
     )
     rng0 = np.random.default_rng(0)
     feats = {
@@ -100,6 +108,9 @@ def main() -> int:
                 t0 = time.perf_counter()
                 try:
                     batcher.embed(feats[t], timeout=120)
+                except ServerOverloaded:
+                    time.sleep(0.02)  # Retry-After analog
+                    continue
                 except Exception as e:
                     errors.append(repr(e))
                     return
@@ -136,6 +147,8 @@ def main() -> int:
                 "max_batch": args.max_batch,
                 "max_wait_ms": args.max_wait_ms,
                 "pipeline": args.pipeline,
+                "max_pending": args.max_pending,
+                "shed": s["shed"],
                 "quantize": args.quantize,
                 "device": str(jax.devices()[0]),
                 **({"smoke": True} if args.smoke else {}),
