@@ -49,6 +49,18 @@ def main(argv=None) -> int:
     p.add_argument("--normalization", type=str, default="cmn",
                    choices=["cmn", "cmvn"])
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--long_audio", type=str, default="chunk",
+                   choices=["chunk", "pad"],
+                   help="beyond ~2x the largest length bucket (160 s): "
+                        "'chunk' (default) embeds largest-bucket chunks and "
+                        "duration-weights their unit-embedding centroid — "
+                        "bounded compiles/memory for hour-long audio; 'pad' "
+                        "keeps the reference's unbounded full-length "
+                        "semantics (one fresh XLA compile per distinct "
+                        "rounded length)")
+    p.add_argument("--long_audio_max_frames", type=int, default=None,
+                   help="override the chunking cap in frames "
+                        "(default 2x the largest bucket = 16000 = 160 s)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8", "int8_static"],
                    help="'int8': int8 conv encoder with dynamic activation "
@@ -129,7 +141,8 @@ def main(argv=None) -> int:
             print(f"int8_static calibration: {calib_state}", file=sys.stderr)
     extractor = EmbeddingExtractor(
         params, state, cfg.model, loader, batch_size=args.batch_size,
-        embed_fn=embed_fn,
+        embed_fn=embed_fn, long_audio=args.long_audio,
+        max_frames=args.long_audio_max_frames,
     )
     if args.load_embeddings:
         from ..evaluation.embeddings import load_embeddings

@@ -133,6 +133,20 @@ class EmbeddingExtractor:
     fetched (JAX dispatch is async, so transfers and forwards of batch
     i+1 overlap the host reading batch i's output), and results are
     drained once at the end.
+
+    Long audio: utterances up to ``max_frames`` (default 2x the largest
+    bucket, i.e. 160 s at the default grid) embed at full length (beyond
+    the static grid the pad length rounds up to a multiple of the largest
+    bucket — one extra XLA compile per distinct size, the reference's
+    unbounded batch-of-1 semantics, ``train.py:107-133``). BEYOND the cap,
+    ``long_audio='chunk'`` (default) splits the utterance into
+    largest-bucket chunks, embeds each through the already-compiled
+    shapes, and returns the duration-weighted mean of the L2-normalized
+    chunk embeddings (the standard multi-window centroid; cosine scoring
+    is scale-invariant) — compile count and batch memory stay bounded for
+    arbitrarily long audio. ``long_audio='pad'`` keeps the unbounded
+    reference semantics at any length: an hour-long wav then compiles a
+    (B, 360k, 80) program, so only use it for strict parity runs.
     """
 
     def __init__(
@@ -146,6 +160,8 @@ class EmbeddingExtractor:
         embed_fn=None,
         num_workers: int = 4,
         mesh=None,
+        long_audio: str = "chunk",
+        max_frames: Optional[int] = None,
     ):
         from ..utils.kernel_auto import resolve_model_kernels
 
@@ -157,6 +173,12 @@ class EmbeddingExtractor:
         self.load = feature_loader
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
+        if long_audio not in ("chunk", "pad"):
+            raise ValueError(f"unknown long_audio policy {long_audio!r}")
+        self.long_audio = long_audio
+        self.max_frames = (
+            2 * self.buckets[-1] if max_frames is None else int(max_frames)
+        )
         self.cache: Dict[str, np.ndarray] = {}
         self.n_embedded = 0  # utterances run through the model (not cache hits)
         self.num_workers = max(1, num_workers)
@@ -181,24 +203,50 @@ class EmbeddingExtractor:
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             return dict(zip(todo, ex.map(self.load, todo)))
 
+    def _pieces(self, u: str, f: np.ndarray) -> List[np.ndarray]:
+        """Split one utterance's (T, F) features into embedding pieces:
+        a single piece up to the cap; largest-bucket chunks beyond it
+        (features are already utterance-CMN'd by the loader, so chunking
+        after normalization keeps the reference's per-utterance stats)."""
+        if self.long_audio != "chunk" or f.shape[0] <= self.max_frames:
+            return [f]
+        big = self.buckets[-1]
+        segs = [f[i : i + big] for i in range(0, f.shape[0], big)]
+        if len(segs) > 1 and segs[-1].shape[0] < 50:
+            # a sub-half-second tail carries no independent evidence and
+            # would earn a full chunk weight slot; fold it into the
+            # previous chunk's weighting by dropping it
+            segs.pop()
+        return segs
+
     def extract(self, utt_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         todo = sorted(set(u for u in utt_ids if u not in self.cache))
         if not todo:
             return self.cache
         feats = self._load_all(todo)
-        by_bucket: Dict[int, List[str]] = {}
+        # (utt, piece_idx) keys: one piece per utterance except chunked
+        # long audio; pieces batch through the same bucketed machinery
+        pieces: Dict[Tuple[str, int], np.ndarray] = {}
+        n_pieces: Dict[str, int] = {}
         for u in todo:
-            by_bucket.setdefault(bucket_for(feats[u].shape[0], self.buckets), []).append(u)
+            segs = self._pieces(u, feats[u])
+            n_pieces[u] = len(segs)
+            for k, seg in enumerate(segs):
+                pieces[(u, k)] = seg
+        by_bucket: Dict[int, List[Tuple[str, int]]] = {}
+        for key, seg in pieces.items():
+            by_bucket.setdefault(bucket_for(seg.shape[0], self.buckets), []).append(key)
 
-        pending: List[Tuple[List[str], Any]] = []
-        for bucket, utts in sorted(by_bucket.items()):
-            for i in range(0, len(utts), self.batch_size):
-                chunk = utts[i : i + self.batch_size]
+        pending: List[Tuple[List[Tuple[str, int]], Any]] = []
+        for bucket, keys in sorted(by_bucket.items()):
+            keys.sort()
+            for i in range(0, len(keys), self.batch_size):
+                chunk = keys[i : i + self.batch_size]
                 b = self.batch_size
-                x = np.zeros((b, bucket, feats[chunk[0]].shape[1]), np.float32)
+                x = np.zeros((b, bucket, pieces[chunk[0]].shape[1]), np.float32)
                 lengths = np.zeros((b,), np.int32)
-                for j, u in enumerate(chunk):
-                    f = feats[u]
+                for j, key in enumerate(chunk):
+                    f = pieces[key]
                     x[j, : f.shape[0]] = f
                     lengths[j] = f.shape[0]
                 if self._x_sharding is not None:
@@ -207,10 +255,26 @@ class EmbeddingExtractor:
                 # async dispatch: don't block on the result here
                 pending.append((chunk, self._embed(self.params, self.state, x, lengths)))
                 self.n_embedded += len(chunk)
+        piece_emb: Dict[Tuple[str, int], np.ndarray] = {}
         for chunk, emb in pending:
             emb = np.asarray(emb)
-            for j, u in enumerate(chunk):
-                self.cache[u] = emb[j]
+            for j, key in enumerate(chunk):
+                piece_emb[key] = emb[j]
+        for u in todo:
+            if n_pieces[u] == 1:
+                self.cache[u] = piece_emb[(u, 0)]
+            else:
+                # duration-weighted centroid of unit chunk embeddings
+                # (scale is irrelevant to the cosine scoring downstream)
+                acc = None
+                for k in range(n_pieces[u]):
+                    e = piece_emb[(u, k)].astype(np.float64)
+                    e /= max(1e-12, float(np.linalg.norm(e)))
+                    w = float(pieces[(u, k)].shape[0])
+                    acc = w * e if acc is None else acc + w * e
+                self.cache[u] = (
+                    acc / sum(pieces[(u, k)].shape[0] for k in range(n_pieces[u]))
+                ).astype(np.float32)
         return self.cache
 
 
