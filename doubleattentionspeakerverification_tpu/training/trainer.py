@@ -758,20 +758,27 @@ class Trainer:
         last_metrics = None
         last_batch = None
         wait_s = dispatch_s = 0.0  # host-side accounting per print window
-        # lazy default: Trainers assembled piecewise skip __init__
+        # lazy defaults: Trainers assembled piecewise skip __init__
         self._dispatch_hint_logged = getattr(self, "_dispatch_hint_logged", False)
+        self._resume_skip_steps = getattr(self, "_resume_skip_steps", 0)
+        self._stop_requested = getattr(self, "_stop_requested", False)
+        self._stop_reason = getattr(self, "_stop_reason", "")
+        self.preempted = getattr(self, "preempted", False)
 
         for self.epoch in range(self.starting_epoch, cfg.train.max_epochs):
             # mid-epoch resume (graceful preemption): skip the in-epoch
             # steps the checkpoint already consumed — the remainder of the
-            # batch stream is bit-identical to the uninterrupted epoch
-            epoch_batches = self.loader.epoch(
-                self.epoch,
-                start_step=(
-                    self._resume_skip_steps
-                    if self.epoch == self.starting_epoch else 0
-                ),
+            # batch stream is bit-identical to the uninterrupted epoch.
+            # start_step only passed when nonzero so duck-typed replay
+            # loaders (tests, soak tools) keep their 1-arg epoch()
+            skip = (
+                self._resume_skip_steps
+                if self.epoch == self.starting_epoch else 0
             )
+            if skip:
+                epoch_batches = self.loader.epoch(self.epoch, start_step=skip)
+            else:
+                epoch_batches = self.loader.epoch(self.epoch)
             if self.num_hosts > 1:
                 # assemble each host's row slice into global arrays; the
                 # transfer itself is process-local (no collective), so it is
