@@ -486,16 +486,22 @@ def make_server(
                     # the client is still uploading so the 413 response
                     # reaches it before the close — closing with unread
                     # in-flight data can RST the connection and the client
-                    # would see ECONNRESET instead of the 413. The drain cap
-                    # keeps a hostile oversized stream from pinning the
-                    # handler thread; past it the connection closes anyway.
+                    # would see ECONNRESET instead of the 413. The drain is
+                    # bounded in BYTES (cap) and TIME (socket timeout) so a
+                    # hostile oversized/slow-loris stream cannot pin the
+                    # handler thread; past either bound the connection
+                    # closes anyway.
                     drain_cap = int(4 * max_body_mb * 1e6)
                     remaining = min(n, drain_cap)
-                    while remaining > 0:
-                        chunk = self.rfile.read(min(65536, remaining))
-                        if not chunk:
-                            break
-                        remaining -= len(chunk)
+                    try:
+                        self.connection.settimeout(10.0)
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(65536, remaining))
+                            if not chunk:
+                                break
+                            remaining -= len(chunk)
+                    except OSError:
+                        pass  # slow/stalled client: respond with what we have
                     self._json(413, {
                         "error": f"body {n} bytes exceeds the "
                                  f"{max_body_mb:.0f} MB limit"
