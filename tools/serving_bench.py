@@ -39,6 +39,11 @@ def main() -> int:
                     help="overlapping in-flight forwards (MicroBatcher pipeline depth)")
     ap.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
                     help="serve the int8 conv encoder (cli/serve.py --quantize int8)")
+    ap.add_argument("--ab_pending", type=int, default=0,
+                    help="same-session A/B: run one unbounded phase, then one "
+                         "phase with max_pending set to this value; reports "
+                         "both (relay sessions drift, so the comparison must "
+                         "stay in one process)")
     ap.add_argument("--max_pending", type=int, default=0,
                     help="admission bound (0 = unbounded): shed requests get "
                          "an immediate ServerOverloaded; clients here back "
@@ -97,65 +102,90 @@ def main() -> int:
         # reported batching ratio
         batcher.warmup(lengths)
 
-        stop_at = time.perf_counter() + args.seconds
-        lat, audio, lock = [], [0.0], threading.Lock()
-        errors = []
+        def run_phase(seconds: float) -> dict:
+            stop_at = time.perf_counter() + seconds
+            lat, audio, lock = [], [0.0], threading.Lock()
+            errors = []
 
-        def client(tid):
-            rng = np.random.default_rng(tid)
-            while time.perf_counter() < stop_at:
-                t = int(rng.choice(lengths))
-                t0 = time.perf_counter()
-                try:
-                    batcher.embed(feats[t], timeout=120)
-                except ServerOverloaded:
-                    time.sleep(0.02)  # Retry-After analog
-                    continue
-                except Exception as e:
-                    errors.append(repr(e))
-                    return
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
-                    audio[0] += t / 100.0
+            def client(tid):
+                rng = np.random.default_rng(tid)
+                while time.perf_counter() < stop_at:
+                    t = int(rng.choice(lengths))
+                    t0 = time.perf_counter()
+                    try:
+                        batcher.embed(feats[t], timeout=120)
+                    except ServerOverloaded:
+                        time.sleep(0.02)  # Retry-After analog
+                        continue
+                    except Exception as e:
+                        errors.append(repr(e))
+                        return
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat.append(dt)
+                        audio[0] += t / 100.0
 
-        t_start = time.perf_counter()
-        threads = [threading.Thread(target=client, args=(i,)) for i in range(args.threads)]
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join(timeout=args.seconds + 300)
-        elapsed = time.perf_counter() - t_start
-        if errors:
-            print(json.dumps({"error": errors[:3]}))
-            return 1
-
-        ls = np.sort(lat)
-        s = batcher.stats()
-        result = {
-            "metric": "serve_throughput",
-            "value": round(audio[0] / elapsed, 1),
-            "unit": "audio_s/s/chip",
-            "extras": {
+            shed0 = batcher.stats()["shed"]
+            t_start = time.perf_counter()
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(args.threads)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=seconds + 300)
+            elapsed = time.perf_counter() - t_start
+            if errors:
+                raise RuntimeError(errors[:3])
+            ls = np.sort(lat)
+            s = batcher.stats()
+            return {
+                "audio_s_per_s": round(audio[0] / elapsed, 1),
                 "requests_per_s": round(len(ls) / elapsed, 1),
                 "p50_ms": round(1e3 * float(ls[len(ls) // 2]), 1),
                 "p90_ms": round(1e3 * float(ls[int(len(ls) * 0.9)]), 1),
                 "p99_ms": round(1e3 * float(ls[int(len(ls) * 0.99)]), 1),
                 "n_requests": len(ls),
+                "shed": s["shed"] - shed0,
+                "max_pending": batcher.max_pending,
+            }
+
+        phases = {}
+        if args.ab_pending:
+            # same-session A/B (relay sessions drift ~25%, so the shed
+            # comparison must not span processes): unbounded, then bounded
+            batcher.max_pending = 0
+            phases["unbounded"] = run_phase(args.seconds)
+            batcher.max_pending = args.ab_pending
+            phases["bounded"] = run_phase(args.seconds)
+            main_phase = phases["bounded"]
+        else:
+            main_phase = run_phase(args.seconds)
+
+        result = {
+            "metric": "serve_throughput",
+            "value": main_phase["audio_s_per_s"],
+            "unit": "audio_s/s/chip",
+            "extras": {
+                **main_phase,
                 "threads": args.threads,
-                "batched_ratio": round(s["requests"] / max(1, s["forwards"]), 2),
+                "batched_ratio": round(
+                    batcher.stats()["requests"]
+                    / max(1, batcher.stats()["forwards"]), 2
+                ),
                 "max_batch": args.max_batch,
                 "max_wait_ms": args.max_wait_ms,
                 "pipeline": args.pipeline,
-                "max_pending": args.max_pending,
-                "shed": s["shed"],
                 "quantize": args.quantize,
                 "device": str(jax.devices()[0]),
+                **({"ab": phases} if phases else {}),
                 **({"smoke": True} if args.smoke else {}),
             },
         }
         print(json.dumps(result), flush=True)
         return 0
+    except RuntimeError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
     finally:
         batcher.close()
 
