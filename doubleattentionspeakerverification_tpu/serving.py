@@ -574,7 +574,25 @@ def make_server(
     return server
 
 
-def serve_forever(server: ThreadingHTTPServer) -> None:
+def serve_forever(server: ThreadingHTTPServer, install_sigterm: bool = True) -> None:
+    """Run until shutdown. With ``install_sigterm`` (the CLI default),
+    SIGTERM triggers a graceful drain: the listener stops accepting, handler
+    threads finish their in-flight requests, the batcher flushes, and the
+    process exits 0 — mirroring the trainer's preemption semantics."""
+    if install_sigterm:
+        import signal
+        import threading as _threading
+
+        def _on_sigterm(signum, frame):
+            # shutdown() blocks until serve_forever returns — must not be
+            # called from the signal handler's (main) thread while that
+            # same thread sits in serve_forever
+            _threading.Thread(target=server.shutdown, daemon=True).start()
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except (ValueError, OSError):
+            pass  # non-main thread / restricted environment
     try:
         server.serve_forever()
     finally:
