@@ -62,6 +62,13 @@ def main(argv=None) -> int:
                              "waiting, new ones get HTTP 503 + Retry-After "
                              "immediately (0 = unbounded). Bounds memory and "
                              "tail latency under client floods")
+    parser.add_argument("--long_audio", type=str, default="reject",
+                        choices=["reject", "chunk"],
+                        help="uploads beyond the largest length bucket: "
+                             "'reject' = HTTP 413 (compiled-shape set stays "
+                             "closed); 'chunk' = embed largest-bucket chunks "
+                             "and return their duration-weighted unit-"
+                             "embedding centroid (still a closed shape set)")
     parser.add_argument("--enrollment_db", type=str, default=None,
                         help="persist speaker enrollments to this .npz "
                              "(loaded at startup, written on every change)")
@@ -93,7 +100,8 @@ def main(argv=None) -> int:
                          verify_threshold=params.verify_threshold,
                          pipeline=params.pipeline,
                          max_body_mb=params.max_body_mb,
-                         max_pending=params.max_pending)
+                         max_pending=params.max_pending,
+                         long_audio=params.long_audio)
     if params.warmup:
         lengths = [int(t) for t in params.warmup.split(",") if t.strip()]
         print(f"warming up buckets for frame lengths {lengths} ...")

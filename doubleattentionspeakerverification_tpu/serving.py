@@ -91,11 +91,22 @@ class MicroBatcher:
         embed_timeout_s: float = 600.0,
         pipeline: int = 2,
         max_pending: int = 512,
+        long_audio: str = "reject",
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.buckets = tuple(buckets)
+        # uploads beyond the largest bucket: 'reject' (default, HTTP 413 —
+        # the compiled-shape set stays closed and the client is told to
+        # split) or 'chunk' — largest-bucket chunks batched like ordinary
+        # requests (still a closed shape set, each chunk paying admission
+        # control) and combined as the duration-weighted centroid of unit
+        # chunk embeddings, the same policy as the offline extractor
+        # (evaluation/embeddings.py)
+        if long_audio not in ("reject", "chunk"):
+            raise ValueError(f"unknown long_audio policy {long_audio!r}")
+        self.long_audio = long_audio
         # default generous: the FIRST request per length bucket waits out an
         # XLA compile (~2 min on TPU), and requests queued behind it wait too
         self.embed_timeout_s = embed_timeout_s
@@ -138,31 +149,49 @@ class MicroBatcher:
     def embed(self, feats: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
         """(T, F) normalized features -> (emb,). Thread-safe, blocking.
 
-        Raises :class:`AudioTooLong` for inputs beyond the largest length
-        bucket: serving runs a CLOSED set of compiled shapes; an unbounded
-        utterance would trigger a fresh multi-minute XLA compile mid-traffic
-        (an easy accidental DoS). Batch/offline paths (``score_trials``,
-        ``EmbeddingExtractor``) still handle any length via the beyond-grid
-        round-up."""
+        Inputs beyond the largest length bucket either raise
+        :class:`AudioTooLong` (``long_audio='reject'``, the default —
+        serving runs a CLOSED set of compiled shapes, and an unbounded
+        utterance would trigger a fresh multi-minute XLA compile
+        mid-traffic, an easy accidental DoS) or, with
+        ``long_audio='chunk'``, are embedded as largest-bucket chunks
+        combined into the duration-weighted centroid of unit chunk
+        embeddings (the offline extractor's policy — the shape set stays
+        closed). Batch/offline paths (``score_trials``,
+        ``EmbeddingExtractor``) additionally support exact full-length
+        embedding via the beyond-grid round-up."""
         feats = np.asarray(feats, np.float32)
-        if feats.shape[0] > self.buckets[-1]:
+        if feats.shape[0] <= self.buckets[-1]:
+            return self._wait_result(self._submit(feats), timeout)
+        if self.long_audio != "chunk":
             raise AudioTooLong(
                 f"{feats.shape[0]} frames exceeds the largest serving "
-                f"bucket ({self.buckets[-1]}); split the audio or raise "
-                "--buckets"
+                f"bucket ({self.buckets[-1]}); split the audio, raise "
+                "--buckets, or serve with --long_audio chunk"
             )
-        p = _Pending(feats)
+        return self._embed_chunked(feats, timeout)
+
+    def _admit_many(self, n: int) -> None:
+        """All-or-nothing admission of ``n`` work items (a multi-chunk
+        request must not hold slots while its remaining chunks shed)."""
         with self._stats_lock:
-            if self.max_pending and self._stats["pending"] >= self.max_pending:
+            if self.max_pending and self._stats["pending"] + n > self.max_pending:
                 # shed at admission: nothing is queued, nothing leaks
                 self._stats["shed"] += 1
                 raise ServerOverloaded(
                     f"{self._stats['pending']} requests already pending "
                     f"(bound {self.max_pending}); retry shortly"
                 )
-            self._stats["pending"] += 1
+            self._stats["pending"] += n
+
+    def _submit(self, feats: np.ndarray) -> _Pending:
+        self._admit_many(1)
+        p = _Pending(feats)
+        self._q.put(p)
+        return p
+
+    def _wait_result(self, p: _Pending, timeout: Optional[float]) -> np.ndarray:
         try:
-            self._q.put(p)
             if not p.event.wait(self.embed_timeout_s if timeout is None else timeout):
                 with self._stats_lock:
                     self._stats["errors"] += 1
@@ -175,6 +204,41 @@ class MicroBatcher:
         finally:
             with self._stats_lock:
                 self._stats["pending"] -= 1
+
+    def _embed_chunked(self, feats: np.ndarray, timeout: Optional[float]) -> np.ndarray:
+        big = self.buckets[-1]
+        segs = [feats[i : i + big] for i in range(0, feats.shape[0], big)]
+        if len(segs) > 1 and segs[-1].shape[0] < 50:
+            segs.pop()  # a sub-half-second tail carries no extra evidence
+        self._admit_many(len(segs))
+        pendings = [_Pending(s) for s in segs]
+        for p in pendings:
+            self._q.put(p)
+        # one overall deadline across the chunks (they batch/pipeline
+        # concurrently, so the wall-clock is ~one chunk's latency)
+        deadline = time.monotonic() + (
+            self.embed_timeout_s if timeout is None else timeout
+        )
+        acc, wsum, done = None, 0.0, 0
+        try:
+            for p, seg in zip(pendings, segs):
+                e = np.asarray(
+                    self._wait_result(p, max(0.0, deadline - time.monotonic())),
+                    np.float64,
+                )
+                done += 1
+                e /= max(1e-12, float(np.linalg.norm(e)))
+                w = float(seg.shape[0])
+                acc = w * e if acc is None else acc + w * e
+                wsum += w
+        except BaseException:
+            # _wait_result decremented the successes AND the raiser; release
+            # the never-waited chunks' slots (their work may still finish in
+            # the worker — same semantics as an abandoned timed-out request)
+            with self._stats_lock:
+                self._stats["pending"] -= len(pendings) - done - 1
+            raise
+        return (acc / wsum).astype(np.float32)
 
     def close(self) -> None:
         self._q.put(None)
@@ -412,11 +476,12 @@ def make_server(
     pipeline: int = 2,
     max_body_mb: float = 64.0,
     max_pending: int = 512,
+    long_audio: str = "reject",
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.server_address`` has the port."""
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
                            embed_timeout_s=embed_timeout_s, pipeline=pipeline,
-                           max_pending=max_pending)
+                           max_pending=max_pending, long_audio=long_audio)
     db = EnrollmentDB(enrollment_db)
     t0 = time.time()
 

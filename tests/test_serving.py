@@ -524,6 +524,66 @@ def test_backpressure_soak_bounded_p99(model):
         batcher.close()
 
 
+def test_long_audio_chunked_serving(model):
+    """long_audio='chunk': uploads beyond the largest bucket embed as
+    largest-bucket chunks (closed compiled-shape set, every chunk paying
+    admission control) combined into the duration-weighted centroid of
+    unit chunk embeddings — the offline extractor's exact policy; the
+    pending gauge returns to 0 (no leaked slots)."""
+    batcher = MicroBatcher(model, max_batch=2, max_wait_ms=1.0,
+                           buckets=(64, 128), long_audio="chunk")
+    try:
+        f = _feats(310, seed=11)  # chunks: 128 + 128 + 54
+        got = batcher.embed(f, timeout=120)
+
+        segs = [f[0:128], f[128:256], f[256:310]]
+        acc, wsum = np.zeros_like(got, dtype=np.float64), 0.0
+        for seg in segs:
+            e = model.embed_features(
+                seg[None], np.array([seg.shape[0]], np.int32)
+            )[0].astype(np.float64)
+            e /= np.linalg.norm(e)
+            acc += seg.shape[0] * e
+            wsum += seg.shape[0]
+        np.testing.assert_allclose(got, (acc / wsum).astype(np.float32),
+                                   atol=5e-4)
+        assert batcher.stats()["pending"] == 0
+        # all-or-nothing admission: a 3-chunk request against a bound of 2
+        # sheds entirely, holding no slots
+        from doubleattentionspeakerverification_tpu.serving import (
+            ServerOverloaded,
+        )
+
+        batcher.max_pending = 2
+        with pytest.raises(ServerOverloaded):
+            batcher.embed(_feats(310, seed=12), timeout=60)
+        assert batcher.stats()["pending"] == 0
+        batcher.max_pending = 0
+    finally:
+        batcher.close()
+
+
+def test_long_audio_chunk_http_200(model):
+    """--long_audio chunk end to end over HTTP: an upload beyond the
+    largest bucket returns 200 with an embedding (instead of 413)."""
+    server = make_server(model, port=0, max_batch=2, max_wait_ms=1.0,
+                         long_audio="chunk")
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        # serve buckets top out at 8000 frames = 80 s; send ~85 s
+        body = _wav_bytes(seconds=85.0)
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/embed", data=body)
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert len(out["embedding"]) == TINY.model.embedding_size
+        assert np.isfinite(out["embedding"]).all()
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
 def test_sigterm_graceful_drain(model):
     """serve_forever's SIGTERM path: shutdown() stops the listener while
     in-flight requests complete (no dropped work), then the batcher closes
