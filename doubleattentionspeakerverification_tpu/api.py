@@ -80,13 +80,12 @@ class SpeakerEmbeddingModel:
         """Calibrate ``int8_static`` scales on one wav file (e.g. serve's
         ``--calibration_wav``) through the same feature path as inference."""
         wave, sr = read_wav(path)
-        cfg = self.cfg.features
-        if sr != cfg.sample_rate:
-            from .config import FeatureConfig
-
-            cfg = FeatureConfig(sample_rate=sr)
         feats = np.asarray(
-            extract_normalized(wave.astype(np.float32), cfg, self.normalization)
+            extract_normalized(
+                wave.astype(np.float32),
+                self._features_cfg_for_rate(sr),
+                self.normalization,
+            )
         )
         return self.calibrate_quantization(feats)
 
@@ -128,14 +127,26 @@ class SpeakerEmbeddingModel:
         emb = np.asarray(self._embed(self.params, self.model_state, x, lengths))
         return emb[0] if single else emb
 
-    def embed_wave(self, wave: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+    def _features_cfg_for_rate(self, sample_rate: int):
+        """The model's configured feature front-end, rate-adjusted: keep
+        every configured constant (n_mels, n_fft, pre-emphasis, ...); only
+        the rate — and with it the ms-denominated win/hop lengths — follows
+        the audio (fmax=None re-derives sr/2). Same rule as the serving
+        upload path."""
         cfg = self.cfg.features
         if sample_rate != cfg.sample_rate:
-            from .config import FeatureConfig
+            import dataclasses
 
-            cfg = FeatureConfig(sample_rate=sample_rate)
+            cfg = dataclasses.replace(cfg, sample_rate=sample_rate, fmax=None)
+        return cfg
+
+    def embed_wave(self, wave: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
         feats = np.asarray(
-            extract_normalized(wave.astype(np.float32), cfg, self.normalization)
+            extract_normalized(
+                wave.astype(np.float32),
+                self._features_cfg_for_rate(sample_rate),
+                self.normalization,
+            )
         )
         return self.embed_features(feats)
 

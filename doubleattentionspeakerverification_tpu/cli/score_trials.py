@@ -126,15 +126,17 @@ def main(argv=None) -> int:
             scales_path=args.int8_scales,
         )
         if args.calibration_wav and embed_fn.calibration_state() != "static":
+            import dataclasses
+
             from ..data.wav import read_wav
             from ..dsp.features import extract_normalized
 
             wave, sr = read_wav(args.calibration_wav)
             fcfg = cfg.features
             if sr != fcfg.sample_rate:
-                from ..config import FeatureConfig
-
-                fcfg = FeatureConfig(sample_rate=sr)
+                # keep every configured front-end constant; only the rate
+                # (and the ms-denominated win/hop) follows the audio
+                fcfg = dataclasses.replace(fcfg, sample_rate=sr, fmax=None)
             feats = np.asarray(extract_normalized(
                 wave.astype(np.float32), fcfg, args.normalization))
             calib_state = embed_fn.calibrate(params, state, feats[None], None)

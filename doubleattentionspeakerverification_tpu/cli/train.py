@@ -64,6 +64,7 @@ def build_config(params: argparse.Namespace) -> ExperimentConfig:
             checkpoint_backend=params.checkpoint_backend,
             checkpoint_async=params.checkpoint_async,
             preempt_sync_every=params.preempt_sync_every,
+            valid_long_audio=params.valid_long_audio,
             seed=params.seed,
             transfer_dtype=params.transfer_dtype,
             device_prefetch=params.device_prefetch,
@@ -199,6 +200,12 @@ def make_parser() -> argparse.ArgumentParser:
                              "snapshot; disk IO runs off the train loop "
                              "(best-EER saves always block). "
                              "--no-checkpoint_async = fully synchronous")
+    parser.add_argument("--valid_long_audio", type=str, default="chunk",
+                        choices=["chunk", "pad"],
+                        help="validation utterances beyond 2x the largest "
+                             "bucket: 'chunk' = bounded-compile centroid "
+                             "embedding; 'pad' = exact reference full-length "
+                             "semantics (one compile per distinct length)")
     parser.add_argument("--preempt_sync_every", type=int, default=10,
                         help="multi-host: agree on a SIGTERM graceful-stop "
                              "verdict every N steps (one tiny collective); "

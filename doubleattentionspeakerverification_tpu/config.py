@@ -160,6 +160,12 @@ class TrainConfig:
     # collective + host fetch per interval. Single-host checks the local
     # flag every step for free. 0 disables the multi-host agreement.
     preempt_sync_every: int = 10
+    # Validation utterances beyond ~2x the largest length bucket (160 s):
+    # 'chunk' (default) = bounded compiles via largest-bucket chunk
+    # centroids; 'pad' = the reference's exact full-length batch-of-1
+    # semantics (train.py:107-133) at unbounded compile cost — use for
+    # strict parity runs whose validation sets contain very long audio.
+    valid_long_audio: str = "chunk"
     # Static promise that every training window is full-length (all files
     # >= window_size seconds): drops the masking ops from the compiled step
     # (~3.5% faster). The loader verifies the promise per batch.

@@ -112,6 +112,32 @@ class FeatureCache:
         return feats
 
 
+def split_long_audio(
+    feats: np.ndarray, chunk: int, min_tail: int = 50
+) -> List[np.ndarray]:
+    """THE long-audio chunking policy, shared by the offline extractor and
+    the serving MicroBatcher (so serve-vs-offline embeddings cannot
+    diverge): non-overlapping ``chunk``-frame pieces; a sub-``min_tail``
+    final piece (sub-half-second at 100 fps) carries no independent
+    evidence and is dropped rather than earning a full weight slot."""
+    segs = [feats[i : i + chunk] for i in range(0, feats.shape[0], chunk)]
+    if len(segs) > 1 and segs[-1].shape[0] < min_tail:
+        segs.pop()
+    return segs
+
+
+def weighted_unit_centroid(embs, weights) -> np.ndarray:
+    """Duration-weighted mean of L2-normalized embeddings (the standard
+    multi-window centroid; downstream cosine scoring is scale-invariant)."""
+    acc, wsum = None, 0.0
+    for e, w in zip(embs, weights):
+        e = np.asarray(e, np.float64)
+        e = e / max(1e-12, float(np.linalg.norm(e)))
+        acc = float(w) * e if acc is None else acc + float(w) * e
+        wsum += float(w)
+    return (acc / wsum).astype(np.float32)
+
+
 def bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:
@@ -210,14 +236,7 @@ class EmbeddingExtractor:
         after normalization keeps the reference's per-utterance stats)."""
         if self.long_audio != "chunk" or f.shape[0] <= self.max_frames:
             return [f]
-        big = self.buckets[-1]
-        segs = [f[i : i + big] for i in range(0, f.shape[0], big)]
-        if len(segs) > 1 and segs[-1].shape[0] < 50:
-            # a sub-half-second tail carries no independent evidence and
-            # would earn a full chunk weight slot; fold it into the
-            # previous chunk's weighting by dropping it
-            segs.pop()
-        return segs
+        return split_long_audio(f, self.buckets[-1])
 
     def extract(self, utt_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         todo = sorted(set(u for u in utt_ids if u not in self.cache))
@@ -264,17 +283,10 @@ class EmbeddingExtractor:
             if n_pieces[u] == 1:
                 self.cache[u] = piece_emb[(u, 0)]
             else:
-                # duration-weighted centroid of unit chunk embeddings
-                # (scale is irrelevant to the cosine scoring downstream)
-                acc = None
-                for k in range(n_pieces[u]):
-                    e = piece_emb[(u, k)].astype(np.float64)
-                    e /= max(1e-12, float(np.linalg.norm(e)))
-                    w = float(pieces[(u, k)].shape[0])
-                    acc = w * e if acc is None else acc + w * e
-                self.cache[u] = (
-                    acc / sum(pieces[(u, k)].shape[0] for k in range(n_pieces[u]))
-                ).astype(np.float32)
+                self.cache[u] = weighted_unit_centroid(
+                    [piece_emb[(u, k)] for k in range(n_pieces[u])],
+                    [pieces[(u, k)].shape[0] for k in range(n_pieces[u])],
+                )
         return self.cache
 
 

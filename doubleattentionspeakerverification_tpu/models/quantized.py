@@ -298,12 +298,27 @@ def get_embedding_int8_static(
     return emb
 
 
+def _weights_fingerprint(qvgg) -> str:
+    """sha256 over the quantized conv weights, in conv order — binds a
+    persisted scales file to the exact weights it was calibrated against
+    (activation distributions are a function of the weights: scales from a
+    retrained/fine-tuned checkpoint would bake garbage silently)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in sorted(qvgg):
+        h.update(name.encode())
+        h.update(np.asarray(qvgg[name]["w_q"]).tobytes())
+    return h.hexdigest()
+
+
 def save_int8_scales(path: str, scales, cfg: ModelConfig,
-                     margin: float = 1.0) -> None:
+                     margin: float = 1.0, weights_sha: str = "") -> None:
     """Persist baked static activation scales next to a checkpoint so
     serving restarts are deterministic (without this, each restart bakes
-    whatever batch arrives first). The model identity fields guard against
-    loading scales calibrated for a different conv stack."""
+    whatever batch arrives first). The model identity fields + weights
+    fingerprint guard against loading scales calibrated for a different
+    conv stack or a different checkpoint's weights."""
     np.savez(
         path,
         scales=np.asarray(scales, np.float64),
@@ -311,15 +326,19 @@ def save_int8_scales(path: str, scales, cfg: ModelConfig,
         front_end=np.asarray(cfg.front_end),
         kernel_size=np.int64(cfg.kernel_size),
         feature_size=np.int64(cfg.feature_size),
+        weights_sha=np.asarray(weights_sha),
     )
 
 
-def load_int8_scales(path: str, cfg: ModelConfig):
-    """Load :func:`save_int8_scales` output; raises on model mismatch."""
+def load_int8_scales(path: str, cfg: ModelConfig, weights_sha: str = ""):
+    """Load :func:`save_int8_scales` output; raises on model OR weights
+    mismatch (stale scales must never silently serve — the runtime cosine
+    guard only runs at calibration time, not on restore)."""
     with np.load(path, allow_pickle=False) as z:
         scales = [float(s) for s in z["scales"]]
         fe = str(z["front_end"])
         ks, fs = int(z["kernel_size"]), int(z["feature_size"])
+        stored_sha = str(z["weights_sha"]) if "weights_sha" in z.files else ""
     if (fe, ks, fs) != (cfg.front_end, cfg.kernel_size, cfg.feature_size):
         raise ValueError(
             f"int8 scales at {path!r} were calibrated for "
@@ -330,6 +349,12 @@ def load_int8_scales(path: str, cfg: ModelConfig):
         raise ValueError(
             f"int8 scales at {path!r} hold {len(scales)} entries, model "
             f"has {len(_conv_order(cfg))} convs"
+        )
+    if weights_sha and stored_sha and stored_sha != weights_sha:
+        raise ValueError(
+            f"int8 scales at {path!r} were calibrated against DIFFERENT "
+            "model weights (fingerprint mismatch) — delete the file to "
+            "recalibrate, or point --int8_scales elsewhere"
         )
     return scales
 
@@ -393,22 +418,24 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
     # exactly ONE request may be the calibration batch (a race would bake
     # whichever thread's scales won — nondeterministic across restarts)
 
-    def _bake(scales, pallas_conv: bool):
-        folded = fold_static_scales(qvgg, scales, rcfg)
-        fn = jax.jit(
+    def _bake(scales, folded, pallas_conv: bool):
+        return jax.jit(
             lambda pp, ss, xx, ll: get_embedding_int8_static(
                 pp, folded, scales[0], ss, xx, ll, rcfg,
                 use_pallas_conv=pallas_conv,
             )
         )
-        return folded, fn
 
     if scales_path and os.path.exists(scales_path):
         # restored scales carry no calibration batch, so the Pallas speed
         # gate (which needs one) stays off — on current v5e measurements it
-        # auto-disables anyway (module docstring)
-        scales = load_int8_scales(scales_path, rcfg)
-        _, box["fn"] = _bake(scales, pallas_conv=False)
+        # auto-disables anyway (module docstring). The weights fingerprint
+        # check refuses scales calibrated against a different checkpoint.
+        scales = load_int8_scales(
+            scales_path, rcfg, weights_sha=_weights_fingerprint(qvgg)
+        )
+        box["fn"] = _bake(scales, fold_static_scales(qvgg, scales, rcfg),
+                          pallas_conv=False)
         box["state"] = "static"
         log.info("int8_static: restored %d baked scales from %s",
                  len(scales), scales_path)
@@ -421,7 +448,7 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
         )
         folded = fold_static_scales(qvgg, scales, rcfg)
         pallas_conv = _static_pallas_gate(p, folded, scales, s, x, lens, rcfg)
-        _, fn = _bake(scales, pallas_conv)
+        fn = _bake(scales, folded, pallas_conv)
         # one-shot runtime guard: the static program must reproduce the fp
         # model on its own calibration batch, else the scales are garbage
         # (saturation, degenerate distribution) and must never serve
@@ -446,7 +473,8 @@ def make_int8_embed_fn(params, cfg: ModelConfig, scheme: str = "dynamic",
         box["fn"] = fn
         box["state"] = "static"
         if scales_path:
-            save_int8_scales(scales_path, scales, rcfg, calibration_margin)
+            save_int8_scales(scales_path, scales, rcfg, calibration_margin,
+                             weights_sha=_weights_fingerprint(qvgg))
             log.info("int8_static: baked scales persisted to %s", scales_path)
         return box["state"]
 

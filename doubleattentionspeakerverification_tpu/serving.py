@@ -206,10 +206,17 @@ class MicroBatcher:
                 self._stats["pending"] -= 1
 
     def _embed_chunked(self, feats: np.ndarray, timeout: Optional[float]) -> np.ndarray:
-        big = self.buckets[-1]
-        segs = [feats[i : i + big] for i in range(0, feats.shape[0], big)]
-        if len(segs) > 1 and segs[-1].shape[0] < 50:
-            segs.pop()  # a sub-half-second tail carries no extra evidence
+        from .evaluation.embeddings import split_long_audio, weighted_unit_centroid
+
+        segs = split_long_audio(feats, self.buckets[-1])
+        if self.max_pending and len(segs) > self.max_pending:
+            # NON-retryable (413, not 503): this request can never fit the
+            # admission bound, so 'retry shortly' would loop forever
+            raise AudioTooLong(
+                f"{feats.shape[0]} frames needs {len(segs)} chunks, beyond "
+                f"the --max_pending bound ({self.max_pending}); split the "
+                "audio or raise the bound"
+            )
         self._admit_many(len(segs))
         pendings = [_Pending(s) for s in segs]
         for p in pendings:
@@ -219,26 +226,27 @@ class MicroBatcher:
         deadline = time.monotonic() + (
             self.embed_timeout_s if timeout is None else timeout
         )
-        acc, wsum, done = None, 0.0, 0
+        embs, released = [], set()
+
+        def wait_one(p):
+            try:
+                return self._wait_result(p, max(0.0, deadline - time.monotonic()))
+            finally:
+                # _wait_result releases p's slot on every path; record it so
+                # the outer finally can release exactly the never-waited rest
+                # (an exception may also come from OUTSIDE _wait_result, e.g.
+                # KeyboardInterrupt between chunks — no slot may leak)
+                released.add(id(p))
+
         try:
-            for p, seg in zip(pendings, segs):
-                e = np.asarray(
-                    self._wait_result(p, max(0.0, deadline - time.monotonic())),
-                    np.float64,
-                )
-                done += 1
-                e /= max(1e-12, float(np.linalg.norm(e)))
-                w = float(seg.shape[0])
-                acc = w * e if acc is None else acc + w * e
-                wsum += w
-        except BaseException:
-            # _wait_result decremented the successes AND the raiser; release
-            # the never-waited chunks' slots (their work may still finish in
-            # the worker — same semantics as an abandoned timed-out request)
-            with self._stats_lock:
-                self._stats["pending"] -= len(pendings) - done - 1
-            raise
-        return (acc / wsum).astype(np.float32)
+            for p in pendings:
+                embs.append(wait_one(p))
+        finally:
+            leftover = [p for p in pendings if id(p) not in released]
+            if leftover:
+                with self._stats_lock:
+                    self._stats["pending"] -= len(leftover)
+        return weighted_unit_centroid(embs, [s.shape[0] for s in segs])
 
     def close(self) -> None:
         self._q.put(None)
@@ -639,11 +647,19 @@ def make_server(
     return server
 
 
-def serve_forever(server: ThreadingHTTPServer, install_sigterm: bool = True) -> None:
+def serve_forever(server: ThreadingHTTPServer, install_sigterm: bool = True,
+                  drain_timeout_s: float = 120.0) -> None:
     """Run until shutdown. With ``install_sigterm`` (the CLI default),
     SIGTERM triggers a graceful drain: the listener stops accepting, handler
     threads finish their in-flight requests, the batcher flushes, and the
-    process exits 0 — mirroring the trainer's preemption semantics."""
+    process exits 0 — mirroring the trainer's preemption semantics.
+
+    The drain genuinely WAITS: ThreadingHTTPServer's handler threads are
+    daemons, so returning immediately after ``shutdown()`` would let the
+    interpreter kill them mid-request (a client waiting out a first-bucket
+    XLA compile would see its connection die). After the accept loop stops
+    we poll the batcher's pending gauge to zero (bounded by
+    ``drain_timeout_s``) plus a short grace for response writes."""
     if install_sigterm:
         import signal
         import threading as _threading
@@ -661,4 +677,9 @@ def serve_forever(server: ThreadingHTTPServer, install_sigterm: bool = True) -> 
     try:
         server.serve_forever()
     finally:
+        deadline = time.monotonic() + drain_timeout_s
+        while (server.batcher.stats()["pending"] > 0
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        time.sleep(0.2)  # grace: handlers write responses after embed returns
         server.batcher.close()

@@ -373,6 +373,7 @@ class Trainer:
             embed_fn=self._embed_jit,
             num_workers=max(1, cfg.data.num_workers),
             mesh=mesh,
+            long_audio=cfg.train.valid_long_audio,
         )
         clients = load_trials(cfg.data.valid_clients)
         impostors = load_trials(cfg.data.valid_impostors)
@@ -490,6 +491,10 @@ class Trainer:
             "stopping": self.stopping,
             "lr": get_lr(state.opt_state),
             "best_ckpt_path": self.best_ckpt_path,
+            # mid-epoch resume validates against this: the in-epoch offset
+            # (step - epoch*spe) is only meaningful if the epoch geometry
+            # is unchanged across the resume
+            "steps_per_epoch": self.loader.steps_per_epoch(),
         }
 
     def _save(
@@ -642,13 +647,26 @@ class Trainer:
         # (seed, epoch, step), so skipping the already-consumed in-epoch
         # steps continues the uninterrupted batch stream exactly. A
         # checkpoint at an epoch boundary starts the next epoch (the
-        # pre-r5 — and reference, train.py:47 — semantics).
+        # pre-r5 — and reference, train.py:47 — semantics). The in-epoch
+        # offset is only valid if the epoch geometry is unchanged: when the
+        # checkpoint records a DIFFERENT steps_per_epoch (manifest grew,
+        # batch/accum changed) — or predates the field — fall back to
+        # epoch+1 rather than silently skipping the wrong batches.
         steps_per_epoch = self.loader.steps_per_epoch()
+        ckpt_spe = meta.get("steps_per_epoch")
         in_epoch = int(self.state.step) - ckpt_epoch * max(1, steps_per_epoch)
-        if 0 < in_epoch < steps_per_epoch:
+        if ckpt_spe == steps_per_epoch and 0 < in_epoch < steps_per_epoch:
             self.starting_epoch = ckpt_epoch
             self._resume_skip_steps = in_epoch
         else:
+            if (ckpt_spe is not None and ckpt_spe != steps_per_epoch
+                    and 0 < in_epoch):
+                self.log.log(
+                    "resume_geometry_changed",
+                    ckpt_steps_per_epoch=ckpt_spe,
+                    steps_per_epoch=steps_per_epoch,
+                    note="mid-epoch offset invalid; restarting at epoch+1",
+                )
             self.starting_epoch = ckpt_epoch + 1
             self._resume_skip_steps = 0
         self.log.log(

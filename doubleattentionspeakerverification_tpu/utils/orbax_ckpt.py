@@ -68,7 +68,13 @@ class OrbaxAsyncSaver:
 
     One save is in flight at a time (a second ``save`` first finalizes the
     previous one — by then its disk write has long landed, so the wait is
-    ~free).
+    ~free). Crash-window tradeoff vs the sync path: save N's marker lands
+    at save N+1, so a hard kill between them resumes from N-1 — up to TWO
+    checkpoint intervals lost where sync loses one. Shorten
+    ``checkpoint_every`` (the saves are cheap now) or pass
+    ``checkpoint_async=False`` where the single-interval bound matters
+    more than the per-save stall; graceful SIGTERM preemption is unaffected
+    (it blocks through finalization before exiting).
 
     Multi-host: every method is a COLLECTIVE — call at the same program
     point on every process (the Trainer only calls at identical step
@@ -159,16 +165,22 @@ def latest_orbax_checkpoint(out_dir: str) -> Optional[str]:
 def prune_orbax_checkpoints(
     out_dir: str, model_name: str, keep: int, protect: Tuple[str, ...] = ()
 ) -> None:
-    """Keep the newest ``keep`` periodic ``.orbax`` dirs; never best ones.
-    Multi-host: only process 0 deletes (concurrent rmtree of one dir from
-    several hosts races; best-effort pruning needs no barrier)."""
+    """Keep the newest ``keep`` FINALIZED periodic ``.orbax`` dirs; never
+    best ones. Only finalized dirs (meta.json present) count toward
+    ``keep`` — an in-flight async save must not displace the last
+    resumable checkpoint (with keep=1 that would leave ZERO resumable
+    checkpoints if the process died before the deferred finalization).
+    Unfinalized dirs older than the newest finalized one are crashed
+    leftovers and are removed. Multi-host: only process 0 deletes
+    (concurrent rmtree of one dir from several hosts races; best-effort
+    pruning needs no barrier)."""
     import shutil
 
     import jax
 
     if keep <= 0 or not os.path.isdir(out_dir) or jax.process_index() != 0:
         return
-    entries = []
+    finalized, unfinalized = [], []
     for fname in os.listdir(out_dir):
         full = os.path.join(out_dir, fname)
         m = _STEP_RE.search(fname)
@@ -181,8 +193,15 @@ def prune_orbax_checkpoints(
             or os.path.abspath(full) in protect
         ):
             continue
-        entries.append((int(m.group(1)), full))
-    entries.sort()
-    if len(entries) > keep:
-        for _, full in entries[:-keep]:
-            shutil.rmtree(full, ignore_errors=True)
+        if os.path.exists(os.path.join(full, "meta.json")):
+            finalized.append((int(m.group(1)), full))
+        else:
+            unfinalized.append((int(m.group(1)), full))
+    finalized.sort()
+    doomed = [full for _, full in finalized[:-keep]] if len(finalized) > keep else []
+    if finalized:
+        newest_final = finalized[-1][0]
+        # stale crashed leftovers; anything newer may be the in-flight save
+        doomed += [full for step, full in unfinalized if step < newest_final]
+    for full in doomed:
+        shutil.rmtree(full, ignore_errors=True)

@@ -281,6 +281,13 @@ def test_static_scales_persist_restart_deterministic(tmp_path):
     with pytest.raises(ValueError):
         load_int8_scales(path, _tiny_cfg(kernel_size=32))
 
+    # ... and into the SAME architecture with DIFFERENT weights (stale
+    # scales from a retrained checkpoint must never silently serve — the
+    # runtime cosine guard only runs at calibration, not on restore)
+    params2, _ = init_speaker_classifier(jax.random.PRNGKey(99), cfg)
+    with pytest.raises(ValueError, match="fingerprint"):
+        make_int8_embed_fn(params2, cfg, scheme="static", scales_path=path)
+
 
 def test_static_cosine_guard_fallback():
     """When the static program fails the fp-vs-int8 cosine guard on its own

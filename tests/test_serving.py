@@ -548,16 +548,28 @@ def test_long_audio_chunked_serving(model):
         np.testing.assert_allclose(got, (acc / wsum).astype(np.float32),
                                    atol=5e-4)
         assert batcher.stats()["pending"] == 0
-        # all-or-nothing admission: a 3-chunk request against a bound of 2
-        # sheds entirely, holding no slots
         from doubleattentionspeakerverification_tpu.serving import (
+            AudioTooLong,
             ServerOverloaded,
         )
 
+        # a request needing more chunks than the bound can NEVER be
+        # admitted: non-retryable AudioTooLong (413), not a 503 loop
         batcher.max_pending = 2
-        with pytest.raises(ServerOverloaded):
+        with pytest.raises(AudioTooLong):
             batcher.embed(_feats(310, seed=12), timeout=60)
         assert batcher.stats()["pending"] == 0
+        # all-or-nothing admission when the request FITS the bound but the
+        # server is momentarily busy: retryable shed, no held slots
+        batcher.max_pending = 4
+        with batcher._stats_lock:
+            batcher._stats["pending"] = 2
+        with pytest.raises(ServerOverloaded):
+            batcher.embed(_feats(310, seed=12), timeout=60)  # 2 + 3 > 4
+        with batcher._stats_lock:
+            assert batcher._stats["pending"] == 2
+            batcher._stats["pending"] = 0
+            batcher._stats["shed"] = 0
         batcher.max_pending = 0
     finally:
         batcher.close()

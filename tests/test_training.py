@@ -679,6 +679,16 @@ def test_orbax_roundtrip_sharded_state(tmp_path):
     left = sorted(os.listdir(out))
     assert left == ["m_7.orbax", "m_best_3.orbax"]
 
+    # only FINALIZED dirs count toward keep: a newer unfinalized (async
+    # in-flight) dir must not displace the last resumable checkpoint, and
+    # stale unfinalized leftovers (older than the newest finalized) are
+    # swept
+    os.makedirs(f"{out}/m_9.orbax")           # in-flight: no meta.json yet
+    os.makedirs(f"{out}/m_4.orbax")           # crashed leftover
+    prune_orbax_checkpoints(out, "m", keep=1)
+    left = sorted(os.listdir(out))
+    assert left == ["m_7.orbax", "m_9.orbax", "m_best_3.orbax"], left
+
 
 def test_orbax_async_saver_defers_finalization(tmp_path):
     """OrbaxAsyncSaver: the meta.json finalization marker lands only at
