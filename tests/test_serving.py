@@ -575,6 +575,37 @@ def test_long_audio_chunked_serving(model):
         batcher.close()
 
 
+def test_long_audio_chunk_with_int8_static(model):
+    """Surface combination: chunked long audio over the int8_static model —
+    the first (real-audio) chunk calibrates, later chunks run the fused
+    static program, and the centroid stays close to the fp centroid."""
+    from doubleattentionspeakerverification_tpu.evaluation.embeddings import (
+        split_long_audio,
+        weighted_unit_centroid,
+    )
+
+    q_model = SpeakerEmbeddingModel(
+        model.params, model.model_state, TINY, quantize="int8_static"
+    )
+    batcher = MicroBatcher(q_model, max_batch=2, max_wait_ms=1.0,
+                           buckets=(64, 128), long_audio="chunk")
+    try:
+        f = _feats(310, seed=13)
+        got = batcher.embed(f, timeout=120)
+        assert q_model.quantize_calibration_state() == "static"
+        segs = split_long_audio(f, 128)
+        fp = weighted_unit_centroid(
+            [model.embed_features(s[None], np.array([s.shape[0]], np.int32))[0]
+             for s in segs],
+            [s.shape[0] for s in segs],
+        )
+        cos = float(fp @ got) / (np.linalg.norm(fp) * np.linalg.norm(got))
+        assert cos > 0.95, cos
+        assert batcher.stats()["pending"] == 0
+    finally:
+        batcher.close()
+
+
 def test_long_audio_chunk_http_200(model):
     """--long_audio chunk end to end over HTTP: an upload beyond the
     largest bucket returns 200 with an embedding (instead of 413)."""
