@@ -37,7 +37,14 @@ def load_model(checkpoint_path: str):
 def embed_wav(audio_path: str, params, model_state, cfg: ExperimentConfig,
               normalization: str = "cmn") -> np.ndarray:
     wave, sr = read_wav(audio_path)
-    feat_cfg = cfg.features if sr == cfg.features.sample_rate else FeatureConfig(sample_rate=sr)
+    if sr == cfg.features.sample_rate:
+        feat_cfg = cfg.features
+    else:
+        import dataclasses
+
+        # keep every configured front-end constant; only the rate (and the
+        # ms-denominated win/hop) follows the audio
+        feat_cfg = dataclasses.replace(cfg.features, sample_rate=sr, fmax=None)
     feats = extract_normalized(wave.astype(np.float32), feat_cfg, normalization)
     from ..utils.kernel_auto import resolve_model_kernels
 
@@ -53,10 +60,25 @@ def main(argv=None) -> int:
     parser.add_argument("--audioPath", type=str, required=True)
     parser.add_argument("--modelCheckpoint", type=str, required=True)
     parser.add_argument("--normalization", type=str, default="cmn", choices=["cmn", "cmvn"])
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "int8", "int8_static"],
+                        help="int8 conv encoder (same schemes as serve/"
+                             "score_trials; embeddings cosine-match fp to "
+                             "~1e-3 — prefer fp for parity checks)")
     params = parser.parse_args(argv)
 
     model_params, model_state, cfg = load_model(params.modelCheckpoint)
-    emb = embed_wav(params.audioPath, model_params, model_state, cfg, params.normalization)
+    if params.quantize != "none":
+        from ..api import SpeakerEmbeddingModel
+
+        model = SpeakerEmbeddingModel(
+            model_params, model_state, cfg, params.normalization,
+            quantize=params.quantize,
+        )
+        emb = model.embed_wav(params.audioPath)
+    else:
+        emb = embed_wav(params.audioPath, model_params, model_state, cfg,
+                        params.normalization)
     np.set_printoptions(precision=6, suppress=False)
     print(emb)
     return 0
