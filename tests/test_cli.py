@@ -256,6 +256,57 @@ def test_get_embedding_from_orbax_checkpoint(tmp_path):
     assert emb.shape == (24,) and np.isfinite(emb).all()
 
 
+def test_get_embedding_quantize_matches_fp(tmp_path, capsys):
+    """`get_embedding --quantize int8[_static]` (CLI symmetry with
+    serve/score_trials) prints an embedding that cosine-matches the fp
+    run on the same wav (int8 tolerance ~1e-3, models/quantized.py)."""
+    import re
+
+    import jax
+
+    from doubleattentionspeakerverification_tpu.config import (
+        ExperimentConfig,
+        ModelConfig,
+    )
+    from doubleattentionspeakerverification_tpu.models.classifier import (
+        init_speaker_classifier,
+    )
+    from doubleattentionspeakerverification_tpu.training.step import init_train_state
+    from doubleattentionspeakerverification_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(kernel_size=16, heads_number=4, embedding_size=16,
+                          num_spkrs=4),
+    )
+    p, ms = init_speaker_classifier(jax.random.PRNGKey(0), cfg.model)
+    ck = str(tmp_path / "m_1.npz")
+    save_checkpoint(ck, init_train_state(p, ms, cfg), {"config": cfg.to_dict()})
+
+    sr = 16000
+    t = np.arange(int(1.1 * sr)) / sr
+    wav = str(tmp_path / "probe.wav")
+    write_wav(wav, 0.3 * np.sin(2 * np.pi * 420 * t)
+              + 0.05 * np.sin(2 * np.pi * 1310 * t), sr)
+
+    def run(mode):
+        rc = embed_main(["--audioPath", wav, "--modelCheckpoint", ck,
+                         "--quantize", mode])
+        assert rc == 0
+        out = capsys.readouterr().out
+        vec = np.array([float(v) for v in
+                        re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", out)],
+                       np.float32)
+        assert vec.shape == (16,), out
+        return vec
+
+    fp = run("none")
+    for mode in ("int8", "int8_static"):
+        q = run(mode)
+        cos = float(np.dot(fp, q)
+                    / (np.linalg.norm(fp) * np.linalg.norm(q) + 1e-12))
+        assert cos > 0.999, (mode, cos)
+
+
 def test_score_trials_cli(tmp_path):
     import pickle as pkl
 
