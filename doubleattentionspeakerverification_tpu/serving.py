@@ -398,6 +398,10 @@ class EnrollmentDB:
         self._by_speaker: Dict[str, List[np.ndarray]] = {}
         self._lock = threading.Lock()
         self._path = path
+        # identify() cache: (names list, stacked unit-centroid matrix),
+        # rebuilt lazily after any mutation — a 10k-speaker identify is one
+        # matvec instead of 10k per-speaker lock/renormalize round trips
+        self._centroid_cache: Optional[tuple] = None
         if path and os.path.exists(path):
             with np.load(path, allow_pickle=False) as z:
                 for spk, emb in zip(z["ids"], z["embeddings"]):
@@ -428,6 +432,7 @@ class EnrollmentDB:
             self._by_speaker.setdefault(speaker, []).append(
                 np.asarray(embedding, np.float32)
             )
+            self._centroid_cache = None
             self._save_locked()
             return len(self._by_speaker[speaker])
 
@@ -435,6 +440,7 @@ class EnrollmentDB:
         with self._lock:
             removed = len(self._by_speaker.pop(speaker, []))
             if removed:
+                self._centroid_cache = None
                 self._save_locked()
             return removed
 
@@ -442,16 +448,20 @@ class EnrollmentDB:
         with self._lock:
             return {s: len(v) for s, v in self._by_speaker.items()}
 
+    @staticmethod
+    def _unit_centroid(embs: List[np.ndarray]) -> np.ndarray:
+        unit = np.stack(
+            [e / max(1e-12, float(np.linalg.norm(e))) for e in embs]
+        )
+        c = unit.mean(axis=0)
+        return c / max(1e-12, float(np.linalg.norm(c)))
+
     def centroid(self, speaker: str) -> Optional[np.ndarray]:
         with self._lock:
             embs = self._by_speaker.get(speaker)
             if not embs:
                 return None
-            unit = np.stack(
-                [e / max(1e-12, float(np.linalg.norm(e))) for e in embs]
-            )
-            c = unit.mean(axis=0)
-            return c / max(1e-12, float(np.linalg.norm(c)))
+            return self._unit_centroid(embs)
 
     def score(self, embedding: np.ndarray, speaker: str) -> Optional[float]:
         c = self.centroid(speaker)
@@ -459,17 +469,30 @@ class EnrollmentDB:
             return None
         return float(cosine_scores(np.asarray(embedding, np.float32)[None], c[None])[0])
 
+    def _centroid_matrix(self) -> tuple:
+        """(names, (N, emb) unit-centroid matrix), cached until a mutation."""
+        with self._lock:
+            if self._centroid_cache is None:
+                names = sorted(self._by_speaker)
+                mat = (
+                    np.stack([self._unit_centroid(self._by_speaker[s])
+                              for s in names])
+                    if names else np.zeros((0, 1), np.float32)
+                )
+                self._centroid_cache = (names, mat)
+            return self._centroid_cache
+
     def identify(self, embedding: np.ndarray, top_k: int = 3) -> List[Dict]:
-        names = list(self.speakers())
-        # score() returns None if the speaker was unenrolled between the
-        # snapshot above and now — drop those instead of sorting None
-        scored = [
-            {"speaker": s, "score": sc}
-            for s in names
-            if (sc := self.score(embedding, s)) is not None
-        ]
-        scored.sort(key=lambda d: -d["score"])
-        return scored[: max(1, top_k)]
+        names, mat = self._centroid_matrix()
+        if not names:
+            return []
+        q = np.asarray(embedding, np.float32)
+        q = q / max(1e-12, float(np.linalg.norm(q)))
+        # centroids are unit rows, so cosine == one matvec
+        scores = mat @ q
+        k = min(max(1, top_k), len(names))
+        top = np.argsort(-scores)[:k]
+        return [{"speaker": names[i], "score": float(scores[i])} for i in top]
 
 
 def make_server(

@@ -234,6 +234,39 @@ def test_enrollment_db_unit(tmp_path):
     assert EnrollmentDB(path).speakers() == {"bob": 1}
 
 
+def test_enrollment_identify_vectorized_matches_score(tmp_path):
+    """identify()'s one-matvec path must agree with the per-speaker score()
+    path (same centroids, cosine to 1e-6), and its centroid cache must
+    invalidate on enroll/unenroll."""
+    from doubleattentionspeakerverification_tpu.serving import EnrollmentDB
+
+    db = EnrollmentDB()
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        for _ in range(1 + i % 3):
+            db.enroll(f"spk{i:02d}", rng.standard_normal(24))
+    q = rng.standard_normal(24)
+
+    top = db.identify(q, top_k=12)
+    assert [d["speaker"] for d in top] == sorted(
+        db.speakers(), key=lambda s: -db.score(q, s)
+    )
+    for d in top:
+        np.testing.assert_allclose(d["score"], db.score(q, d["speaker"]),
+                                   atol=1e-6)
+
+    # cache invalidation: a new speaker enrolled AFTER an identify() call
+    # must appear in the next call; an unenrolled one must vanish
+    best = top[0]["speaker"]
+    db.enroll("newcomer", q)  # identical to the probe -> cosine ~1
+    assert db.identify(q, top_k=1)[0]["speaker"] == "newcomer"
+    db.unenroll("newcomer")
+    assert db.identify(q, top_k=1)[0]["speaker"] == best
+    # top_k beyond the population and the empty DB are well-defined
+    assert len(db.identify(q, top_k=99)) == 12
+    assert EnrollmentDB().identify(q) == []
+
+
 def test_http_enrollment_endpoints(model, tmp_path):
     server = make_server(
         model, port=0, max_batch=2, max_wait_ms=1.0,
