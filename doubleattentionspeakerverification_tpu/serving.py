@@ -391,7 +391,11 @@ class EnrollmentDB:
     and cosine against it equals the mean pairwise cosine up to the
     renormalization). Optional persistence to one .npz (ids = "speaker"
     per row, aligned with the embedding matrix), written atomically on
-    every mutation when ``path`` is given.
+    every mutation when ``path`` is given — durability-first: each
+    enroll/unenroll rewrites the whole store (~16 MB at 10k x 400), the
+    right trade for the enroll-rarely/identify-often workload this serves;
+    a write-heavy enrollment pipeline should batch through one process and
+    expect O(store) disk per mutation.
     """
 
     def __init__(self, path: Optional[str] = None):
