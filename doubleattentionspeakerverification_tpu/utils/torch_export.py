@@ -23,7 +23,7 @@ Conversion rules (mirror of torch_import):
 from __future__ import annotations
 
 import argparse
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
